@@ -1,0 +1,194 @@
+"""The pipeline driver: scan → parse → plan/store, checkpointed.
+
+gobulk's whole runtime (Run/Runner/Listener/Reader/Parser/Planner/
+Executor, runner.go:90-226) collapses to this one linear DataFrame
+program; the preserved *logical* boundaries are the phase commits
+(SURVEY §3.1). Each phase stages its output to parquet and then flips a
+checkpoint manifest — on resume, committed phases are skipped and their
+staged output re-read (gobulk TestSimpleRunWithMarker semantics).
+
+Phase map (gobulk step.go:6-19 → here):
+  listener/reader → 'scan'  : source scan, marker anti-join, hash dedup
+  parser          → 'parse' : salted repartition + mapInPandas features
+  planner/executor→ 'store' : JVM rule chain, kept/audit/metrics writes
+
+Scale design notes are inline; the short version: the binary column is
+pruned or consumed everywhere before any shuffle, the only wide shuffle
+is the salted repartition feeding the Python stage (deliberate: it
+rebalances skewed phash buckets across executors ahead of the expensive
+UDF), and every audit/metrics write is a narrow append.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import lineage
+from .config import PipelineConfig
+from .plan import decision_columns
+from .sources import scan as src_scan
+from .stages import PARSE_OUTPUT_SCHEMA, make_parse_stage
+
+KEPT_COLUMNS = (
+    "image_id",
+    "source_file",
+    "w",
+    "h",
+    "fmt",
+    "phash",
+    "caption",
+    "lang",
+    "lang_conf",
+    "ppl",
+)
+
+
+def _salted_repartition(df: DataFrame, cfg: PipelineConfig, n_partitions: int) -> DataFrame:
+    """Spread hot phash buckets before the expensive Python stage.
+
+    Deterministic salt from image_id (not rand()) so retried tasks
+    produce identical partitioning — gobulk's stable re-sort concern
+    (parser.go:92-94) solved by keying instead of ordering.
+    """
+    bucket = F.pmod(F.col("phash"), F.lit(cfg.phash_buckets))
+    salt = F.pmod(F.abs(F.xxhash64("image_id")), F.lit(cfg.salt_buckets))
+    return df.repartition(n_partitions, bucket, salt)
+
+
+def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
+    """Execute (or resume) one run. Returns a summary dict."""
+    t_start = time.time()
+    out, rid = cfg.out_dir, cfg.run_id
+    summary: dict = {"run_id": rid, "phases": {}, "config": {k: str(v) for k, v in asdict(cfg).items()}}
+
+    # ---------------- phase: scan (discover, marker, dedup) ----------------
+    dups_path = lineage.stage_dir(out, rid, "dups")
+    ck = cfg.resume and lineage.phase_committed(out, rid, "scan")
+    if not ck:
+        t0 = time.time()
+        src = src_scan.read_source(spark, cfg.source_path)
+        if cfg.incremental:
+            marker = lineage.processed_image_ids(spark, out)
+            if marker is not None:
+                src = src.join(marker, "image_id", "left_anti")
+        # narrow-projection dedup: Catalyst prunes the scan to 2 columns
+        src_scan.find_duplicates(src).write.mode("overwrite").parquet(dups_path)
+        dups = spark.read.parquet(dups_path)
+        n_dups = dups.count()
+        # audit the omitted duplicates (narrow semi-join; no bytes read)
+        dup_audit_src = src.select("image_id", "source_file").join(
+            F.broadcast(dups.select("image_id")) if n_dups <= cfg.dup_broadcast_max else dups.select("image_id"),
+            "image_id",
+            "left_semi",
+        )
+        lineage.write_audit(
+            lineage.audit_columns(
+                dup_audit_src,
+                rid,
+                F.lit("scan"),
+                F.lit("omit"),
+                F.lit("dedup_content_hash"),
+                F.lit("duplicate"),
+                F.lit(None).cast("string"),
+            ),
+            out,
+            "scan",
+            rid,
+        )
+        ck = lineage.commit_phase(out, rid, "scan", n_dups=n_dups, wall_s=time.time() - t0)
+    summary["phases"]["scan"] = ck
+    n_dups = ck["n_dups"]
+
+    # ---------------- phase: parse (decode + models, vectorized) -----------
+    feats_path = lineage.stage_dir(out, rid, "features")
+    ck = cfg.resume and lineage.phase_committed(out, rid, "parse")
+    if not ck:
+        t0 = time.time()
+        src = src_scan.read_source(spark, cfg.source_path)
+        if cfg.incremental:
+            marker = lineage.processed_image_ids(spark, out)
+            # the scan-phase audit already contains this run's duplicates,
+            # so the marker subsumes the dup anti-join on incremental runs
+            if marker is not None:
+                src = src.join(marker, "image_id", "left_anti")
+        else:
+            dups = spark.read.parquet(dups_path)
+            src = src_scan.anti_join_ids(src, dups, broadcast=n_dups <= cfg.dup_broadcast_max)
+        n_part = spark.sparkContext.defaultParallelism * 2
+        salted = _salted_repartition(src, cfg, n_part)
+        feats = salted.mapInPandas(
+            make_parse_stage(cfg.stop_on_error), schema=PARSE_OUTPUT_SCHEMA
+        )
+        feats.write.mode("overwrite").parquet(feats_path)
+        n_rows = spark.read.parquet(feats_path).count()
+        ck = lineage.commit_phase(out, rid, "parse", n_rows=n_rows, wall_s=time.time() - t0)
+    summary["phases"]["parse"] = ck
+
+    # ---------------- phase: store (decide, write kept/audit/metrics) ------
+    ck = cfg.resume and lineage.phase_committed(out, rid, "store")
+    if not ck:
+        t0 = time.time()
+        feats = spark.read.parquet(feats_path)
+        decided = decision_columns(feats, cfg.thresholds)
+        if cfg.stop_on_error:
+            n_issue = decided.where(F.col("action") == "issue").count()
+            if n_issue:
+                raise RuntimeError(f"StopOnError: {n_issue} issue rows in parse output")
+        kept = (
+            decided.where(F.col("keep"))
+            .withColumn("caption", F.col("scrubbed_caption"))
+            .select(*KEPT_COLUMNS)
+        )
+        # per-run subdir + overwrite = idempotent under store-phase retry
+        # even on incremental runs (run 2's retry never touches run 1)
+        kept.write.mode("overwrite").partitionBy("lang").parquet(
+            os.path.join(lineage.kept_dir(out), f"run={rid}")
+        )
+        lineage.write_audit(
+            lineage.audit_columns(
+                decided,
+                rid,
+                F.when(F.col("action") == "issue", "parse")
+                .when(F.col("action") == "omit", "plan")
+                .otherwise("execute"),
+                F.col("action"),
+                F.col("drop_reason"),
+                F.col("drop_reason"),
+                F.when(F.col("action") == "issue", "data_parsing").otherwise(
+                    F.lit(None).cast("string")
+                ),
+            ),
+            out,
+            "store",
+            rid,
+        )
+        lineage.write_metrics(lineage.partition_metrics(decided, rid), out, "store", rid)
+        stats = (
+            spark.read.parquet(lineage.metrics_dir(out))
+            .where((F.col("run_id") == rid) & (F.col("wphase") == "store"))
+            .agg(
+                F.sum("rows_in").alias("rows_in"),
+                F.sum("rows_kept").alias("kept"),
+                F.sum("rows_dropped").alias("dropped"),
+                F.sum("rows_issued").alias("issues"),
+            )
+            .collect()[0]
+        )
+        ck = lineage.commit_phase(
+            out,
+            rid,
+            "store",
+            rows_in=stats["rows_in"],
+            kept=stats["kept"],
+            dropped=stats["dropped"],
+            issues=stats["issues"],
+            wall_s=time.time() - t0,
+        )
+    summary["phases"]["store"] = ck
+    summary["wall_s"] = time.time() - t_start
+    return summary

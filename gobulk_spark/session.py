@@ -1,0 +1,43 @@
+"""SparkSession construction with the engine's defaults.
+
+gobulk analogue: NewRunner wiring + Storage.Prepare/Setup lifecycle
+(runner.go:46-86, storage.go:12-23) — collapsed to session + conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "gobulk-spark",
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 2048,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    cores = master.split("[")[-1].rstrip("]") if "[" in master else "32"
+    nshuffle = shuffle_partitions or (int(cores) * 2 if cores.isdigit() else 64)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime coalescing + skew-split for the non-UDF shuffles
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        # Arrow everywhere; batch size bounds executor-python memory since
+        # batches carry image bytes into the parse stage
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        # oracle comparisons: duckdb timestamps are UTC-naive
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
