@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship quality-filter over sf0.001 documents.
+``queries()`` exposes one callable per implemented operator (SURVEY §2 +
+the training-data operator set); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one. Column names/aliases match
+between both sides; float aggregates are rounded identically on both
+sides to keep value-hashes stable.
 """
 
 from __future__ import annotations
@@ -12,27 +13,470 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPLIST = ("the", "a")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: the real engine (langid + perplexity + heuristic rules) over the
+# documents table as a caption corpus — Arrow-vectorized, not SQL-expressible
+# --------------------------------------------------------------------------
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gobulk_spark.functions import textstats
+        from gobulk_spark.models import langid, perplexity
+
+        for pdf in batches:
+            text = pdf["text"]
+            lid = langid.predict(text)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang_pred": lid["lang"],
+                    "lang_conf": lid["lang_conf"],
+                    "ppl": perplexity.score(text),
+                    "n_words": textstats.n_words(text),
+                    "max_word_freq_ratio": textstats.max_word_freq_ratio(text),
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.mapInPandas(
+        stage,
+        schema="doc_id long, lang_pred string, lang_conf double, ppl double, "
+        "n_words long, max_word_freq_ratio double",
+    )
+    return (
+        feats.withColumn(
+            "keep",
+            (F.col("n_words") >= 10)
+            & (F.col("max_word_freq_ratio") <= 0.5)
+            & (F.col("ppl") < 1e9),
+        )
+        .groupBy("lang_pred", "keep")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# SQL-checkable operator queries
+# --------------------------------------------------------------------------
+
+
+def q_quality_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic keep/drop CASE chain (rules.py P1 analogue, JVM-side)."""
+    d = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim("text"), " +")).cast("long")
+    reason = (
+        F.when(n_chars < 80, "too_short")
+        .when(n_chars > 380, "too_long")
+        .when(n_tokens < 15, "too_few_tokens")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return d.select(
+        "doc_id",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
+def q_language_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gobulk_spark.operators.text import distinct_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        distinct_token_count(F.col("text")).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 fingerprint per source (K1 analogue)."""
+    d = _t(spark, sf_dir, "documents")
+    from gobulk_spark.operators.text import fingerprint
+
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fingerprint(F.col("text"))).alias("n_unique_fp"),
+    )
+
+
+def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gobulk_spark.operators.text import stopword_density
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", stopword_density(F.col("text"), STOPLIST).alias("stopword_density")
+    )
+
+
+def q_max_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gobulk_spark.operators.text import max_token_freq
+
+    d = _t(spark, sf_dir, "documents")
+    return max_token_freq(d, "doc_id", "text")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gobulk_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=2, min_jaccard=0.08)
+    return out.select(
+        "id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gobulk_spark.operators.dedup import minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle_n=2)
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gobulk_spark.operators.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, "doc_id", "text", num_hashes=8, shingle_n=2)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gobulk_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    query = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = brute_force_topk(e.where(F.col("vec_id") != 0), list(query), k=10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_marker_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume-marker semantics: rows not in the processed set (K5)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_existence_check_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-phase existence lookup -> create/update (P2/P3 analogue)."""
+    o = _t(spark, sf_dir, "orders")
+    rich = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return (
+        o.join(F.broadcast(rich.withColumn("_exists", F.lit(1))), "o_custkey", "left")
+        .withColumn(
+            "action", F.when(F.col("_exists").isNotNull(), "update").otherwise("create")
+        )
+        .groupBy("action")
+        .agg(F.count("*").alias("n_ops"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type counters (C6/K3 metrics analogue)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+def q_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts (streaming-aggregation analogue, batch)."""
+    e = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ in Spark 4; route through LTZ (session tz = UTC)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    hour = (F.floor(epoch / 3600) * 3600).cast("long")
+    return e.groupBy(hour.alias("hour_epoch"), "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_name"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("n_name", "s_name", F.round("s_acctbal", 2).alias("acctbal"), "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# non-SQL-expressible operators (rows-only driver check)
+# --------------------------------------------------------------------------
+
+
+def q_flagship_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _flagship(spark, sf_dir)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gobulk_spark.operators.text import simhash, simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    sig = simhash(d, "doc_id", "text")
+    return simhash_near_dups(sig, "doc_id", max_hamming=16)
+
+
+def q_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gobulk_spark.operators.similarity import lsh_bucket_ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    query = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    dim = len(query)
+    return lsh_bucket_ann(
+        e.where(F.col("vec_id") != 0), list(query), dim, k=10, n_planes=8
+    )
+
+
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gobulk_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return embedding_near_dup_pairs(e, dim, min_cosine=0.6, n_planes=6)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "quality_rule_filter": q_quality_rule_filter,
+        "language_distribution": q_language_distribution,
+        "token_stats": q_token_stats,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "stopword_density": q_stopword_density,
+        "max_token_freq": q_max_token_freq,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "embedding_topk": q_embedding_topk,
+        "marker_anti_join": q_marker_anti_join,
+        "existence_check_actions": q_existence_check_actions,
+        "metrics_rollup": q_metrics_rollup,
+        "hourly_event_windows": q_hourly_event_windows,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "top_suppliers_per_nation": q_top_suppliers_per_nation,
+        # rows-only (vectorized Arrow UDF / seeded-RNG operators)
+        "flagship_quality_filter": q_flagship_quality_filter,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_lsh_ann": q_embedding_lsh_ann,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    shingle_cte = """
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(text), ' ')) AS tok,
+               unnest(range(1, len(string_split(trim(text), ' ')) + 1)) AS pos
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok AS shingle
+        FROM toks t1
+        JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+    )
     """
-    return {}
+    return {
+        "quality_rule_filter": """
+            SELECT doc_id,
+                   CASE WHEN length(text) < 80 THEN 'too_short'
+                        WHEN length(text) > 380 THEN 'too_long'
+                        WHEN len(string_split_regex(trim(text), ' +')) < 15 THEN 'too_few_tokens'
+                   END AS drop_reason,
+                   (CASE WHEN length(text) < 80 THEN 'too_short'
+                         WHEN length(text) > 380 THEN 'too_long'
+                         WHEN len(string_split_regex(trim(text), ' +')) < 15 THEN 'too_few_tokens'
+                    END) IS NULL AS keep
+            FROM documents
+        """,
+        "language_distribution": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(length(text)), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split_regex(trim(text), ' +'))) AS BIGINT) AS n_distinct_tokens
+            FROM documents
+        """,
+        "fingerprint_dedup": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT md5(lower(trim(text)))) AS n_unique_fp
+            FROM documents GROUP BY source
+        """,
+        "stopword_density": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), ' +'),
+                                   x -> x IN ('the', 'a')))
+                   / greatest(len(string_split_regex(trim(text), ' +')), 1)
+                   AS stopword_density
+            FROM documents
+        """,
+        "max_token_freq": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+            )
+            SELECT doc_id, max(c) / sum(c) AS max_token_freq_ratio,
+                   sum(c) AS n_tokens
+            FROM tf GROUP BY doc_id
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {shingle_cte},
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b, n_common,
+                   round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common / (sa.n + sb.n - n_common) >= 0.08
+        """,
+        "minhash_signatures": f"""
+            WITH {shingle_cte}
+            SELECT sh.doc_id, band.band AS band,
+                   min(md5(CAST(band.band AS VARCHAR) || '|' || sh.shingle)) AS minhash
+            FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) band
+            GROUP BY sh.doc_id, band.band
+        """,
+        "minhash_lsh_candidates": f"""
+            WITH {shingle_cte},
+            sig AS (
+                SELECT sh.doc_id, band.band AS band,
+                       min(md5(CAST(band.band AS VARCHAR) || '|' || sh.shingle)) AS minhash
+                FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) band
+                GROUP BY sh.doc_id, band.band
+            )
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS bands_agreeing
+            FROM sig l JOIN sig r
+              ON l.band = r.band AND l.minhash = r.minhash AND l.doc_id < r.doc_id
+            GROUP BY l.doc_id, r.doc_id
+        """,
+        "embedding_topk": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id != 0
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]) DESC, e.vec_id
+            LIMIT 10
+        """,
+        "marker_anti_join": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_custkey NOT IN (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+            GROUP BY o_orderpriority
+        """,
+        "existence_check_actions": """
+            SELECT CASE WHEN EXISTS (
+                       SELECT 1 FROM customer c
+                       WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)
+                   THEN 'update' ELSE 'create' END AS action,
+                   count(*) AS n_ops,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders o GROUP BY 1
+        """,
+        "metrics_rollup": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "hourly_event_windows": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_suppliers_per_nation": """
+            SELECT n_name, s_name, round(s_acctbal, 2) AS acctbal, rk
+            FROM (
+                SELECT n.n_name, s.s_name, s.s_acctbal,
+                       row_number() OVER (PARTITION BY n.n_name
+                                          ORDER BY s.s_acctbal DESC, s.s_name ASC) AS rk
+                FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            ) WHERE rk <= 3
+        """,
+    }

@@ -1,0 +1,131 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+All four scale paths avoid the quadratic all-pairs comparison:
+- exact: md5 fingerprint groupBy (map-side combine shrinks the shuffle
+  to unique hashes);
+- MinHash+LSH: shingle -> k minhashes -> band equi-join (shuffle on
+  (band, signature), candidates only);
+- n-gram Jaccard: inverted-index self-join on shared shingles (shuffle
+  on shingle; hot shingles are the skew risk — mitigated by dropping
+  shingles above a document-frequency cap, the standard stop-shingle
+  trick);
+- SimHash: banding (operators/text.py).
+
+MinHash here is md5-based so the DuckDB oracle can reproduce signatures
+bit-for-bit: h_i(s) = md5(i || '|' || s), minimized as hex strings
+(lexicographic order on fixed-width hex == numeric order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, shingles
+
+
+def exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of identical (normalized) texts with >1 member."""
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n_members"), F.min(id_col).alias("canonical_id"))
+        .where(F.col("n_members") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per fingerprint (same survivor rule as the
+    pipeline's content-hash dedup, sources/scan.py)."""
+    fp = df.withColumn("fp", fingerprint(F.col(text_col)))
+    survivors = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return df.join(survivors, id_col, "left_semi")
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 2
+) -> DataFrame:
+    """(id, band, minhash) — one row per document per hash function."""
+    sh = _shingled(df, id_col, text_col, shingle_n)
+    banded = sh.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("band"),
+        F.col("shingle"),
+    )
+    return banded.groupBy(id_col, "band").agg(
+        F.min(
+            F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("shingle")))
+        ).alias("minhash")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 2
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on >=1 minhash band."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    l, r = sig.alias("l"), sig.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.minhash") == F.col("r.minhash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("bands_agreeing"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    min_jaccard: float = 0.1,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct word n-grams, pairs above
+    threshold, via inverted-index self-join (never all-pairs).
+
+    max_shingle_df drops shingles appearing in more than that many docs
+    (stop-shingle skew guard); None keeps everything (exact semantics,
+    required when an oracle cross-checks the result).
+    """
+    sh = _shingled(df, id_col, text_col, shingle_n)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
+            F.col("df") > max_shingle_df
+        )
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )

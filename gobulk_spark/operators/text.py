@@ -1,0 +1,162 @@
+"""Text-analysis operators over a document table (JVM-side first).
+
+Everything here is pure DataFrame API — whole-stage codegen, no Python —
+except simhash, which is a vectorized Arrow UDF by design (bit packing
+is numpy's home turf).
+
+Portability note: these operators are cross-checked against DuckDB SQL
+oracles, so string semantics stick to ASCII classes and md5 (identical
+hex output on both engines).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKEN_SPLIT = " "  # corpus tokens are single-space separated ASCII words
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), " +")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_density(text: Column, stopwords: tuple[str, ...]) -> Column:
+    """Fraction of tokens in the stoplist — higher-order filter, no UDF."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda x: x.isin(*stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint (md5 of normalized text)."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def max_token_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc max token frequency ratio via explode + two-level agg.
+
+    Shuffles (id, token) pairs — narrow. Map-side partial agg applies to
+    the count; the per-doc max is a second partial-aggregable pass.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    per_token = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    return per_token.groupBy(id_col).agg(
+        (F.max("tf") / F.sum("tf")).alias("max_token_freq_ratio"),
+        F.sum("tf").alias("n_tokens"),
+    )
+
+
+def shingles(text: Column, n: int) -> Column:
+    """Word n-gram shingle array (space-joined), via higher-order funcs."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+SIMHASH_BITS = 64
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit simhash per document — vectorized Arrow UDF.
+
+    Token hashes come from numpy (stable blake2-free path: md5 via
+    hashlib on *unique* tokens only), bits are unpacked and majority-
+    voted with one matmul-free bincount pass per batch.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        tok_lists = texts.fillna("").str.split()
+        counts = tok_lists.str.len().to_numpy(dtype=np.int64)
+        flat = [t for row in tok_lists for t in row]
+        out = np.zeros(len(texts), dtype=np.int64)
+        if flat:
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            uh = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
+                    for u in uniques
+                ),
+                dtype=np.uint64,
+                count=len(uniques),
+            )
+            bits = (
+                np.unpackbits(uh[codes].view(np.uint8).reshape(-1, 8), axis=1)
+                .astype(np.int32)
+                .reshape(-1, 64)
+            )
+            rows = np.repeat(np.arange(len(texts)), counts)
+            votes = np.zeros((len(texts), 64), dtype=np.int64)
+            np.add.at(votes, rows, bits * 2 - 1)
+            sig = (votes > 0).astype(np.uint64)
+            packed = np.packbits(sig.astype(np.uint8), axis=1).view(">u8").ravel()
+            out = packed.astype(np.int64, casting="unsafe").view(np.int64)
+        return pd.Series(out, index=texts.index)
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(sig: DataFrame, id_col: str, max_hamming: int = 8) -> DataFrame:
+    """Candidate near-dup pairs by simhash banding (4 bands x 16 bits).
+
+    Two signatures within hamming distance 3 share at least one exact
+    16-bit band (pigeonhole); banding turns the quadratic all-pairs scan
+    into an equi-join per band — the LSH trick, shuffle on (band, key).
+    """
+    bands = []
+    for b in range(4):
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionAll(b)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
