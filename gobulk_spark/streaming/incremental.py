@@ -1,0 +1,127 @@
+"""Streaming ingest: the gobulk listen-loop as Structured Streaming.
+
+gobulk's poll-forever mode (``Run(ctx, interval, ...)``, runner.go:90-105,
+with Listener.Listen feeding new containers as they appear,
+listener.go:49-122) is exactly Spark's file-source streaming with
+``Trigger.AvailableNow``: each new source file is a discovered container
+bulk, each micro-batch is one Reader->Parser->Planner->Executor sweep,
+and Spark's checkpointLocation replaces the tracker's marker.
+
+``foreachBatch`` reuses the *batch* stage functions unchanged — one code
+path for both modes (the engine contract, not two engines).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import lineage
+from ..config import PipelineConfig
+from ..plan import decision_columns
+from ..sources import scan as src_scan
+from ..stages import PARSE_OUTPUT_SCHEMA, make_parse_stage
+
+SOURCE_DDL = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+
+def _process_microbatch(batch: DataFrame, epoch_id: int, cfg: PipelineConfig) -> None:
+    """One micro-batch through the same scan→parse→store semantics."""
+    spark = batch.sparkSession
+    rid = f"{cfg.run_id}-e{epoch_id}"
+    out = cfg.out_dir
+    src = batch.withColumn(
+        "source_file", F.coalesce(F.input_file_name(), F.lit("stream"))
+    )
+    # in-batch content dedup (cross-batch dedup = the marker/audit check)
+    dups = src_scan.find_duplicates(src)
+    marker = lineage.processed_image_ids(spark, out)
+    if marker is not None:
+        src = src.join(marker, "image_id", "left_anti")
+    deduped = src_scan.anti_join_ids(src, dups, broadcast=True)
+    lineage.write_audit(
+        lineage.audit_columns(
+            src.select("image_id", "source_file").join(
+                F.broadcast(dups.select("image_id")), "image_id", "left_semi"
+            ),
+            rid,
+            F.lit("scan"),
+            F.lit("omit"),
+            F.lit("dedup_content_hash"),
+            F.lit("duplicate"),
+            F.lit(None).cast("string"),
+        ),
+        out,
+        "scan",
+        rid,
+    )
+    feats = deduped.mapInPandas(
+        make_parse_stage(cfg.stop_on_error), schema=PARSE_OUTPUT_SCHEMA
+    )
+    decided = decision_columns(feats, cfg.thresholds)
+    kept = (
+        decided.where(F.col("keep"))
+        .withColumn("caption", F.col("scrubbed_caption"))
+        .select(
+            "image_id", "source_file", "w", "h", "fmt", "phash",
+            "caption", "lang", "lang_conf", "ppl",
+        )
+    )
+    kept.write.mode("overwrite").partitionBy("lang").parquet(
+        os.path.join(lineage.kept_dir(out), f"run={rid}")
+    )
+    lineage.write_audit(
+        lineage.audit_columns(
+            decided,
+            rid,
+            F.when(F.col("action") == "issue", "parse")
+            .when(F.col("action") == "omit", "plan")
+            .otherwise("execute"),
+            F.col("action"),
+            F.col("drop_reason"),
+            F.col("drop_reason"),
+            F.when(F.col("action") == "issue", "data_parsing").otherwise(
+                F.lit(None).cast("string")
+            ),
+        ),
+        out,
+        "store",
+        rid,
+    )
+    lineage.write_metrics(lineage.partition_metrics(decided, rid), out, "store", rid)
+
+
+def run_streaming_ingest(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all currently-available source files, then stop.
+
+    AvailableNow = gobulk interval==0 (one sweep then return,
+    runner.go:98-104); rerunning later picks up only new files via the
+    stream checkpoint — the LastTrackedContainer marker.
+    """
+    reader = (
+        spark.readStream.schema(SOURCE_DDL)
+        .format("parquet")
+        .option("path", source_dir)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load()
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, eid: _process_microbatch(df, eid, cfg)
+        )
+        .option("checkpointLocation", os.path.join(cfg.out_dir, "_stream_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
