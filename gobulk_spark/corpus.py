@@ -53,6 +53,8 @@ DEFECTS: tuple[tuple[str, float], ...] = (
     ("img_small", 0.02),
     ("img_aspect", 0.015),
     ("img_meta_mismatch", 0.01),
+    ("img_flat", 0.012),
+    ("img_dark", 0.012),
     ("img_corrupt", 0.015),
     ("dup_exact", 0.02),
 )
@@ -195,6 +197,10 @@ def generate_pairs(n_rows: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
         caption, _ = _caption_for(defect, rng)
         w, h = _dims_for(defect, rng)
         img = synth_image(seed * 1_000_003 + i, w, h)
+        if defect == "img_flat":  # solid color -> zero luma entropy
+            img = np.full_like(img, rng.randrange(60, 200))
+        elif defect == "img_dark":  # near-black exposure
+            img = (img.astype(np.int32) // 16).astype(np.uint8)
         fmt = "png" if rng.random() < 0.5 else "jpeg"
         if fmt == "jpeg":
             img = quantize_lossy(img)

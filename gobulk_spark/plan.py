@@ -41,6 +41,9 @@ def rule_conditions(t: Thresholds) -> dict[str, Column]:
         "bad_aspect_ratio": aspect > t.max_aspect,
         "image_meta_mismatch": (F.col("decoded_w") != F.col("w"))
         | (F.col("decoded_h") != F.col("h")),
+        "image_flat": F.col("pix_entropy") < t.min_pix_entropy,
+        "image_bad_exposure": (F.col("brightness") < t.min_brightness)
+        | (F.col("brightness") > t.max_brightness),
         "high_symbol_ratio": feats["symbol_ratio"] > t.max_symbol_ratio,
         "high_digit_ratio": feats["digit_ratio"] > t.max_digit_ratio,
         "char_repetition": feats["char_run"],

@@ -43,25 +43,61 @@ def content_hash(bytes_col: pd.Series, caption_col: pd.Series) -> pd.Series:
     )
 
 
+def image_quality_features(arr: np.ndarray) -> tuple[float, float, float]:
+    """(brightness, entropy, edge_strength) of one decoded RGB image.
+
+    - brightness: mean luma (Rec.601 weights);
+    - entropy: Shannon entropy of the 16-bin luma histogram, bits [0, 4]
+      (solid-color images -> 0, textured -> high);
+    - edge_strength: mean absolute horizontal+vertical luma gradient
+      (a cheap blur/flatness score).
+    All float64 numpy — bit-identical between labeler and Spark stage.
+    """
+    luma = (
+        0.299 * arr[..., 0].astype(np.float64)
+        + 0.587 * arr[..., 1]
+        + 0.114 * arr[..., 2]
+    )
+    brightness = float(luma.mean())
+    hist = np.bincount(
+        (np.clip(luma, 0, 255).astype(np.int64) >> 4).ravel(), minlength=16
+    ).astype(np.float64)
+    p = hist / hist.sum()
+    nz = p > 0
+    entropy = float(-(p[nz] * np.log2(p[nz])).sum())
+    gx = np.abs(np.diff(luma, axis=1)).mean() if luma.shape[1] > 1 else 0.0
+    gy = np.abs(np.diff(luma, axis=0)).mean() if luma.shape[0] > 1 else 0.0
+    return brightness, entropy, float(gx + gy)
+
+
 def decode_batch(bytes_col: pd.Series) -> pd.DataFrame:
-    """Decode each blob; failures become issue markers, not exceptions.
+    """Decode each blob + pixel quality features; failures become issue
+    markers, not exceptions.
 
     Returns DataFrame(decoded_w int32, decoded_h int32, pix_mean float64,
+    brightness float64, pix_entropy float64, edge_strength float64,
     decode_ok bool, issue_note str|None).
     """
-    ws, hs, means, oks, notes = [], [], [], [], []
+    ws, hs, means, brights, ents, edges, oks, notes = [], [], [], [], [], [], [], []
     for b in bytes_col:
         try:
             arr = decode_png(b)
             hs.append(arr.shape[0])
             ws.append(arr.shape[1])
             means.append(float(arr.mean()))
+            br, en, ed = image_quality_features(arr)
+            brights.append(br)
+            ents.append(en)
+            edges.append(ed)
             oks.append(True)
             notes.append(None)
         except PngError as e:
             ws.append(-1)
             hs.append(-1)
             means.append(float("nan"))
+            brights.append(float("nan"))
+            ents.append(float("nan"))
+            edges.append(float("nan"))
             oks.append(False)
             notes.append(str(e))
     return pd.DataFrame(
@@ -69,6 +105,9 @@ def decode_batch(bytes_col: pd.Series) -> pd.DataFrame:
             "decoded_w": pd.array(ws, dtype="int32"),
             "decoded_h": pd.array(hs, dtype="int32"),
             "pix_mean": means,
+            "brightness": brights,
+            "pix_entropy": ents,
+            "edge_strength": edges,
             "decode_ok": oks,
             "issue_note": pd.array(notes, dtype=object),
         },
@@ -90,6 +129,9 @@ def compute_features(pairs: pd.DataFrame) -> pd.DataFrame:
             "decoded_w": dec["decoded_w"],
             "decoded_h": dec["decoded_h"],
             "pix_mean": dec["pix_mean"],
+            "brightness": dec["brightness"],
+            "pix_entropy": dec["pix_entropy"],
+            "edge_strength": dec["edge_strength"],
             "decode_ok": dec["decode_ok"],
             "issue_note": dec["issue_note"],
             "n_chars": textstats.n_chars(scrubbed),

@@ -44,6 +44,9 @@ class Thresholds:
     min_words: int = 2
     min_image_side: int = 32
     max_aspect: float = 4.0
+    min_pix_entropy: float = 1.0  # bits over a 16-bin luma histogram
+    min_brightness: float = 20.0
+    max_brightness: float = 235.0
     max_symbol_ratio: float = 0.30
     max_digit_ratio: float = 0.40
     max_word_freq_ratio: float = 0.40
@@ -65,6 +68,8 @@ RULE_ORDER: tuple[str, ...] = (
     "image_too_small",
     "bad_aspect_ratio",
     "image_meta_mismatch",
+    "image_bad_exposure",
+    "image_flat",
     "high_symbol_ratio",
     "high_digit_ratio",
     "char_repetition",
@@ -97,6 +102,9 @@ def rule_masks(feat: pd.DataFrame, t: Thresholds = DEFAULT_THRESHOLDS) -> dict[s
         "image_too_small": pd.Series(wh_min < t.min_image_side, index=feat.index),
         "bad_aspect_ratio": pd.Series(aspect > t.max_aspect, index=feat.index),
         "image_meta_mismatch": (feat["decoded_w"] != feat["w"]) | (feat["decoded_h"] != feat["h"]),
+        "image_flat": feat["pix_entropy"] < t.min_pix_entropy,
+        "image_bad_exposure": (feat["brightness"] < t.min_brightness)
+        | (feat["brightness"] > t.max_brightness),
         "high_symbol_ratio": feat["symbol_ratio"] > t.max_symbol_ratio,
         "high_digit_ratio": feat["digit_ratio"] > t.max_digit_ratio,
         "char_repetition": feat["char_run"].astype(bool),

@@ -32,6 +32,7 @@ from .reference_labeler import decode_batch
 PARSE_OUTPUT_SCHEMA = (
     "image_id string, source_file string, w int, h int, fmt string, phash long, "
     "scrubbed_caption string, decoded_w int, decoded_h int, pix_mean double, "
+    "brightness double, pix_entropy double, edge_strength double, "
     "decode_ok boolean, issue_note string, lang string, lang_conf double, "
     "ppl double, max_word_freq_ratio double, stopword_density double"
 )
@@ -54,6 +55,9 @@ def parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "decoded_w": dec["decoded_w"].astype("int32"),
             "decoded_h": dec["decoded_h"].astype("int32"),
             "pix_mean": dec["pix_mean"],
+            "brightness": dec["brightness"],
+            "pix_entropy": dec["pix_entropy"],
+            "edge_strength": dec["edge_strength"],
             "decode_ok": dec["decode_ok"],
             "issue_note": dec["issue_note"],
             "lang": lid["lang"],

@@ -35,6 +35,8 @@ EXPECTED_RULE = {
     "img_small": {"image_too_small"},
     "img_aspect": {"bad_aspect_ratio"},
     "img_meta_mismatch": {"image_meta_mismatch"},
+    "img_flat": {"image_flat"},
+    "img_dark": {"image_bad_exposure"},
     "dup_exact": {"duplicate"},
 }
 
