@@ -151,7 +151,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gobulk_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=2, min_jaccard=0.08)
+    out = ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=2, min_jaccard=0.08, max_shingle_df=64
+    )
     return out.select(
         "id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard")
     )
@@ -168,7 +170,9 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gobulk_spark.operators.dedup import minhash_lsh_candidates
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(d, "doc_id", "text", num_hashes=8, shingle_n=2)
+    return minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=8, shingle_n=2, max_bucket_size=64
+    )
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,10 +391,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": f"""
             WITH {shingle_cte},
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            shc AS (  -- stop-shingle cap: drop shingles in > 64 docs
+                SELECT sh.doc_id, sh.shingle FROM sh
+                JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle) d
+                  ON d.shingle = sh.shingle
+                WHERE d.df <= 64
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
             inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-                FROM sh a JOIN sh b
+                FROM shc a JOIN shc b
                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id
             )
@@ -410,11 +420,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_candidates": f"""
             WITH {shingle_cte},
-            sig AS (
+            sig0 AS (
                 SELECT sh.doc_id, band.band AS band,
                        min(md5(CAST(band.band AS VARCHAR) || '|' || sh.shingle)) AS minhash
                 FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) band
                 GROUP BY sh.doc_id, band.band
+            ),
+            sig AS (  -- hot-bucket guard: drop buckets with > 64 members
+                SELECT s.* FROM sig0 s
+                JOIN (SELECT band, minhash, count(*) AS bs
+                      FROM sig0 GROUP BY band, minhash) b
+                  ON b.band = s.band AND b.minhash = s.minhash
+                WHERE b.bs <= 64
             )
             SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS bands_agreeing
             FROM sig l JOIN sig r

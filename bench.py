@@ -76,15 +76,45 @@ def time_queries(sf_dir: str, cpus: str) -> dict[str, float]:
 
 
 def run_pipeline_leg(master: str, source_path: str) -> dict:
-    """One pipeline run at the given master; returns wall + throughput."""
+    """One end-to-end pipeline run + one compute-only parse run.
+
+    Two throughputs per parallelism level:
+    - end_to_end: full checkpointed pipeline (includes the sandbox's
+      fixed single-disk/single-JVM costs: phase commits, parquet IO,
+      job scheduling — costs that are per-cluster, not per-executor, on
+      a real deployment);
+    - parse_compute: the vectorized decode+model stage alone (scan ->
+      mapInPandas -> noop sink), the part whose cost grows with data and
+      must scale with cores.
+    """
+    from pyspark.sql import functions as F
+
     from gobulk_spark.config import PipelineConfig
     from gobulk_spark.pipeline import run_pipeline
     from gobulk_spark.session import get_spark
+    from gobulk_spark.sources import scan as src_scan
+    from gobulk_spark.stages import PARSE_OUTPUT_SCHEMA, make_parse_stage
 
     tag = master.replace("[", "_").replace("]", "")
     out_dir = f"/tmp/gobulk_bench_out/{tag}"
     shutil.rmtree(out_dir, ignore_errors=True)
     spark = get_spark(master, app_name=f"gobulk-pipeline-{tag}")
+
+    # compute-only leg first (warm the python workers' model singletons
+    # is NOT done: fresh session => includes model-fit amortization)
+    n_rows_df = spark.read.parquet(source_path)
+    n_rows = n_rows_df.count()
+    t0 = time.time()
+    (
+        src_scan.read_source(spark, source_path)
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .mapInPandas(make_parse_stage(False), schema=PARSE_OUTPUT_SCHEMA)
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    compute_wall = time.time() - t0
+
     cfg = PipelineConfig(
         source_path=source_path, out_dir=out_dir, run_id="bench", resume=False
     )
@@ -98,6 +128,8 @@ def run_pipeline_leg(master: str, source_path: str) -> dict:
         "rows": rows,
         "wall_s": round(wall, 2),
         "images_per_sec": round(rows / wall, 1),
+        "compute_wall_s": round(compute_wall, 2),
+        "compute_images_per_sec": round(n_rows / compute_wall, 1),
         "phase_wall_s": {
             p: round(v.get("wall_s", 0.0), 2) for p, v in summary["phases"].items()
         },
@@ -131,7 +163,7 @@ def main() -> None:
         legs[master] = json.loads(line)
 
     t8, t32 = legs["local[8]"]["wall_s"], legs["local[32]"]["wall_s"]
-    eff = (t8 / t32) / 4.0
+    c8, c32 = legs["local[8]"]["compute_wall_s"], legs["local[32]"]["compute_wall_s"]
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {
         "metric": "total_headline_query_sec",
@@ -141,11 +173,20 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipeline": {
             "rows": legs["local[32]"]["rows"],
-            "wall_s_local8": t8,
-            "wall_s_local32": t32,
-            "images_per_sec_local8": legs["local[8]"]["images_per_sec"],
-            "images_per_sec_local32": legs["local[32]"]["images_per_sec"],
-            "scaling_efficiency_8_to_32": round(eff, 3),
+            "end_to_end": {
+                "wall_s_local8": t8,
+                "wall_s_local32": t32,
+                "images_per_sec_local8": legs["local[8]"]["images_per_sec"],
+                "images_per_sec_local32": legs["local[32]"]["images_per_sec"],
+                "scaling_efficiency_8_to_32": round((t8 / t32) / 4.0, 3),
+            },
+            "parse_compute": {
+                "wall_s_local8": c8,
+                "wall_s_local32": c32,
+                "images_per_sec_local8": legs["local[8]"]["compute_images_per_sec"],
+                "images_per_sec_local32": legs["local[32]"]["compute_images_per_sec"],
+                "scaling_efficiency_8_to_32": round((c8 / c32) / 4.0, 3),
+            },
             "phase_wall_s_local32": legs["local[32]"]["phase_wall_s"],
         },
     }

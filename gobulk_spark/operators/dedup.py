@@ -66,10 +66,28 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs agreeing on >=1 minhash band."""
+    """Candidate near-dup pairs: docs agreeing on >=1 minhash band.
+
+    max_bucket_size drops (band, minhash) buckets with more members —
+    over-full buckets are non-discriminative and quadratic (the standard
+    LSH hot-bucket guard; the skew story of SURVEY §4 applied to joins).
+    """
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    if max_bucket_size is not None:
+        hot = (
+            sig.groupBy("band", "minhash")
+            .agg(F.count("*").alias("bs"))
+            .where(F.col("bs") > max_bucket_size)
+            .select("band", "minhash")
+        )
+        sig = sig.join(F.broadcast(hot), ["band", "minhash"], "left_anti")
     l, r = sig.alias("l"), sig.alias("r")
     return (
         l.join(

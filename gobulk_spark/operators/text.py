@@ -123,12 +123,16 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dups(sig: DataFrame, id_col: str, max_hamming: int = 8) -> DataFrame:
+def simhash_near_dups(
+    sig: DataFrame, id_col: str, max_hamming: int = 8, max_bucket_size: int | None = 64
+) -> DataFrame:
     """Candidate near-dup pairs by simhash banding (4 bands x 16 bits).
 
     Two signatures within hamming distance 3 share at least one exact
     16-bit band (pigeonhole); banding turns the quadratic all-pairs scan
     into an equi-join per band — the LSH trick, shuffle on (band, key).
+    Over-full band buckets (> max_bucket_size members) are dropped: they
+    are non-discriminative and quadratic (hot-key guard).
     """
     bands = []
     for b in range(4):
@@ -143,6 +147,14 @@ def simhash_near_dups(sig: DataFrame, id_col: str, max_hamming: int = 8) -> Data
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionAll(b)
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count("*").alias("bs"))
+            .where(F.col("bs") > max_bucket_size)
+            .select("band", "band_key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

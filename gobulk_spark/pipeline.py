@@ -25,7 +25,7 @@ import os
 import time
 from dataclasses import asdict
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from . import lineage
@@ -124,9 +124,13 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         feats = salted.mapInPandas(
             make_parse_stage(cfg.stop_on_error), schema=PARSE_OUTPUT_SCHEMA
         )
+        # row count via observation on the write job — no second scan
+        obs = Observation(f"parse-{rid}")
+        feats = feats.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         feats.write.mode("overwrite").parquet(feats_path)
-        n_rows = spark.read.parquet(feats_path).count()
-        ck = lineage.commit_phase(out, rid, "parse", n_rows=n_rows, wall_s=time.time() - t0)
+        ck = lineage.commit_phase(
+            out, rid, "parse", n_rows=obs.get["n_rows"], wall_s=time.time() - t0
+        )
     summary["phases"]["parse"] = ck
 
     # ---------------- phase: store (decide, write kept/audit/metrics) ------
@@ -149,36 +153,31 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         kept.write.mode("overwrite").partitionBy("lang").parquet(
             os.path.join(lineage.kept_dir(out), f"run={rid}")
         )
-        lineage.write_audit(
-            lineage.audit_columns(
-                decided,
-                rid,
-                F.when(F.col("action") == "issue", "parse")
-                .when(F.col("action") == "omit", "plan")
-                .otherwise("execute"),
-                F.col("action"),
-                F.col("drop_reason"),
-                F.col("drop_reason"),
-                F.when(F.col("action") == "issue", "data_parsing").otherwise(
-                    F.lit(None).cast("string")
-                ),
-            ),
-            out,
-            "store",
+        audit = lineage.audit_columns(
+            decided,
             rid,
+            F.when(F.col("action") == "issue", "parse")
+            .when(F.col("action") == "omit", "plan")
+            .otherwise("execute"),
+            F.col("action"),
+            F.col("drop_reason"),
+            F.col("drop_reason"),
+            F.when(F.col("action") == "issue", "data_parsing").otherwise(
+                F.lit(None).cast("string")
+            ),
         )
+        # run totals ride the audit write as an observation — no read-back
+        obs = Observation(f"store-{rid}")
+        audit = audit.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum((F.col("action") == "create").cast("long")).alias("kept"),
+            F.sum((F.col("action") == "omit").cast("long")).alias("dropped"),
+            F.sum((F.col("action") == "issue").cast("long")).alias("issues"),
+        )
+        lineage.write_audit(audit, out, "store", rid)
         lineage.write_metrics(lineage.partition_metrics(decided, rid), out, "store", rid)
-        stats = (
-            spark.read.parquet(lineage.metrics_dir(out))
-            .where((F.col("run_id") == rid) & (F.col("wphase") == "store"))
-            .agg(
-                F.sum("rows_in").alias("rows_in"),
-                F.sum("rows_kept").alias("kept"),
-                F.sum("rows_dropped").alias("dropped"),
-                F.sum("rows_issued").alias("issues"),
-            )
-            .collect()[0]
-        )
+        stats = obs.get
         ck = lineage.commit_phase(
             out,
             rid,
