@@ -1,0 +1,64 @@
+"""spark-submit entrypoint for the quality-filter pipeline.
+
+Usage:
+    spark-submit --py-files gobulk_spark.zip jobs/run_quality_filter.py \
+        --source /path/pairs.parquet --out /path/out --run-id run-1 \
+        [--incremental] [--stop-on-error] [--streaming]
+
+The SparkSession comes from spark-submit's conf (master, executors); the
+job only sets analysis-level conf (AQE, Arrow batch size, UTC).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--run-id", default="run-1")
+    ap.add_argument("--incremental", action="store_true")
+    ap.add_argument("--stop-on-error", action="store_true")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--arrow-batch-rows", type=int, default=2048)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName(f"gobulk-quality-filter-{args.run_id}").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(args.arrow_batch_rows)
+    )
+
+    from gobulk_spark.config import PipelineConfig
+
+    cfg = PipelineConfig(
+        source_path=args.source,
+        out_dir=args.out,
+        run_id=args.run_id,
+        incremental=args.incremental,
+        stop_on_error=args.stop_on_error,
+        resume=not args.no_resume,
+        arrow_batch_rows=args.arrow_batch_rows,
+    )
+    if args.streaming:
+        from gobulk_spark.streaming.incremental import run_streaming_ingest
+
+        run_streaming_ingest(spark, cfg, args.source)
+        print(json.dumps({"run_id": args.run_id, "mode": "streaming", "status": "done"}))
+    else:
+        from gobulk_spark.pipeline import run_pipeline
+
+        summary = run_pipeline(spark, cfg)
+        print(json.dumps(summary, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
