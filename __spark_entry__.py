@@ -301,6 +301,69 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(e, dim, min_cosine=0.6, n_planes=6)
 
 
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counts per user: gap > 30 min starts a new session
+    (lag window + conditional count — the sessionization idiom)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(
+        F.col("ts").cast("timestamp").cast("long")
+    ).over(w)
+    return (
+        e.withColumn("new_session", (gap.isNull() | (gap > 1800)).cast("long"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets family) over lineitem."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x event-type pivot via conditional aggregation."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.hour(F.col("ts").cast("timestamp"))
+    types = ("click", "error", "purchase", "signup", "view")
+    return e.groupBy(hour.alias("hour_of_day")).agg(
+        *[
+            F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
+            for t in types
+        ]
+    )
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+def q_embedding_exact_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine near-dups (the oracle-checked baseline the
+    LSH-bucketed variant approximates)."""
+    from gobulk_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    # n_planes=0 => single bucket => true all-pairs join
+    out = embedding_near_dup_pairs(e, dim, min_cosine=0.4, n_planes=0)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "quality_rule_filter": q_quality_rule_filter,
@@ -319,6 +382,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_windows": q_hourly_event_windows,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "top_suppliers_per_nation": q_top_suppliers_per_nation,
+        "sessionization": q_sessionization,
+        "pricing_rollup": q_pricing_rollup,
+        "event_type_pivot": q_event_type_pivot,
+        "value_quantiles": q_value_quantiles,
+        "embedding_exact_near_dups": q_embedding_exact_near_dups,
         # rows-only (vectorized Arrow UDF / seeded-RNG operators)
         "flagship_quality_filter": q_flagship_quality_filter,
         "simhash_near_dups": q_simhash_near_dups,
@@ -495,5 +563,46 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY s.s_acctbal DESC, s.s_name ASC) AS rk
                 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
             ) WHERE rk <= 3
+        """,
+        "sessionization": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch(ts) - lag(epoch(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "event_type_pivot": """
+            SELECT hour(ts) AS hour_of_day,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+            FROM events GROUP BY 1
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90
+            FROM events GROUP BY event_type
+        """,
+        "embedding_exact_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
         """,
     }
