@@ -76,19 +76,16 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
             marker = lineage.processed_image_ids(spark, out)
             if marker is not None:
                 src = src.join(marker, "image_id", "left_anti")
-        # narrow-projection dedup: Catalyst prunes the scan to 2 columns
-        src_scan.find_duplicates(src).write.mode("overwrite").parquet(dups_path)
+        # narrow-projection dedup: Catalyst prunes the scan to 3 columns;
+        # source_file rides along so the audit needs no join back
+        src_scan.find_duplicates(src, carry=("source_file",)).write.mode(
+            "overwrite"
+        ).parquet(dups_path)
         dups = spark.read.parquet(dups_path)
         n_dups = dups.count()
-        # audit the omitted duplicates (narrow semi-join; no bytes read)
-        dup_audit_src = src.select("image_id", "source_file").join(
-            F.broadcast(dups.select("image_id")) if n_dups <= cfg.dup_broadcast_max else dups.select("image_id"),
-            "image_id",
-            "left_semi",
-        )
         lineage.write_audit(
             lineage.audit_columns(
-                dup_audit_src,
+                dups,
                 rid,
                 F.lit("scan"),
                 F.lit("omit"),

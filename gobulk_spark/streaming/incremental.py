@@ -39,16 +39,14 @@ def _process_microbatch(batch: DataFrame, epoch_id: int, cfg: PipelineConfig) ->
         "source_file", F.coalesce(F.input_file_name(), F.lit("stream"))
     )
     # in-batch content dedup (cross-batch dedup = the marker/audit check)
-    dups = src_scan.find_duplicates(src)
+    dups = src_scan.find_duplicates(src, carry=("source_file",))
     marker = lineage.processed_image_ids(spark, out)
     if marker is not None:
         src = src.join(marker, "image_id", "left_anti")
     deduped = src_scan.anti_join_ids(src, dups, broadcast=True)
     lineage.write_audit(
         lineage.audit_columns(
-            src.select("image_id", "source_file").join(
-                F.broadcast(dups.select("image_id")), "image_id", "left_semi"
-            ),
+            dups,
             rid,
             F.lit("scan"),
             F.lit("omit"),
