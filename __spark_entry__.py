@@ -10,16 +10,43 @@ sides to keep value-hashes stable.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:  # driver-side import works from any cwd
+    sys.path.insert(0, _REPO)
+
 STOPLIST = ("the", "a")
+
+_PKG_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make gobulk_spark importable on executor Python workers.
+
+    UDF closures reference module globals by name (e.g. the LSH
+    hyperplane helper), so workers must import the package; addPyFile
+    distributes a zip and extends the worker sys.path regardless of the
+    harness's cwd/PYTHONPATH.
+    """
+    key = spark.sparkContext.applicationId
+    if key in _PKG_SHIPPED:
+        return
+    from jobs.package import build
+
+    zip_path = build(os.path.join("/tmp", "gobulk_spark_pyfiles", "gobulk_spark.zip"))
+    spark.sparkContext.addPyFile(zip_path)
+    _PKG_SHIPPED.add(key)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
