@@ -320,6 +320,17 @@ def q_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gobulk_spark.operators.similarity import ivf_ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    query = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_ann(
+        e.where(F.col("vec_id") != 0), list(query), dim=len(query), k=10,
+        n_cells=16, n_probe=4,
+    )
+
+
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gobulk_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -418,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_quality_filter": q_flagship_quality_filter,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_lsh_ann": q_embedding_lsh_ann,
+        "embedding_ivf_ann": q_embedding_ivf_ann,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     }
 

@@ -42,6 +42,67 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(survivors, id_col, "left_semi")
 
 
+def phash_near_dup_candidates(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 8,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """Near-duplicate IMAGE candidates by perceptual-hash banding.
+
+    Same banding scheme as simhash text near-dups (operators/text.py):
+    4 x 16-bit bands of the 64-bit phash, equi-join per band, exact
+    hamming filter, hot buckets dropped. This is where the source
+    schema's ``phash`` column pays off: candidate generation is a
+    narrow (id, band, key) shuffle — pixels never move.
+    """
+    from .text import hamming64
+
+    sig = df.select(F.col(id_col), F.col(phash_col).alias("simhash"))
+    banded = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.band_key")
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count("*").alias("bs"))
+            .where(F.col("bs") > max_bucket_size)
+            .select("band", "band_key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     # a document table is often a single parquet split, but shingling
     # amplifies work ~100x per row — spread rows across cores BEFORE the

@@ -108,6 +108,60 @@ def lsh_bucket_ann(
     )
 
 
+def _ivf_centroids(dim: int, n_cells: int, seed: int) -> np.ndarray:
+    """Deterministic coarse quantizer: unit-norm random centroids.
+
+    A trained k-means codebook would come from a sample pass; for a
+    seeded, training-free engine the random codebook gives the same
+    partition-pruning structure (cells are Voronoi regions).
+    """
+    c = np.random.default_rng(seed).standard_normal((n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def with_ivf_cell(
+    emb: DataFrame, dim: int, n_cells: int = 16, seed: int = 7, id_col: str = "vec_id"
+) -> DataFrame:
+    """Append the IVF cell id (argmax centroid dot product)."""
+
+    @F.pandas_udf(T.IntegerType())
+    def _cell(vecs: pd.Series) -> pd.Series:
+        cents = _ivf_centroids(dim, n_cells, seed)
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32), index=vecs.index)
+
+    return emb.withColumn("ivf_cell", _cell(F.col("embedding")))
+
+
+def ivf_ann(
+    emb: DataFrame,
+    query: list[float],
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate nearest neighbours: score only vectors whose cell
+    is among the query's n_probe closest centroids.
+
+    Scale path: write the table partitioned by ivf_cell and the probe
+    filter becomes partition pruning — the scan reads n_probe/n_cells
+    of the data before any compute.
+    """
+    cents = _ivf_centroids(dim, n_cells, seed)
+    scores = cents @ np.asarray(query, dtype=np.float64)
+    probes = [int(i) for i in np.argsort(-scores)[:n_probe]]
+    celled = with_ivf_cell(emb, dim, n_cells, seed, id_col)
+    return (
+        celled.where(F.col("ivf_cell").isin(probes))
+        .select(F.col(id_col), cosine_to(query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     dim: int,

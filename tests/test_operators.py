@@ -1,0 +1,83 @@
+"""Operator-level tests: dedup variants, ANN recall, phash banding."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gobulk_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different text about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "spark engines process completely different text"),  # shares vocab w/ 2
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    kept = dedup.dedup_exact(docs, "doc_id", "text").toPandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 2, 4]
+    groups = dedup.exact_dups(docs, "doc_id", "text").toPandas()
+    assert len(groups) == 1 and groups["canonical_id"].iloc[0] == 0
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    cand = dedup.minhash_lsh_candidates(docs, "doc_id", "text").toPandas()
+    pairs = set(zip(cand["id_a"], cand["id_b"]))
+    assert (0, 1) in pairs or (0, 3) in pairs  # near/exact dups collide
+    assert (0, 3) in pairs  # exact dup always agrees on all bands
+    full = cand[(cand.id_a == 0) & (cand.id_b == 3)]
+    assert full["bands_agreeing"].iloc[0] == 8
+
+
+def test_jaccard_exact_values(spark, docs):
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.5).toPandas()
+    pairs = {(a, b): j for a, b, j in zip(out.id_a, out.id_b, out.jaccard)}
+    assert pairs[(0, 3)] == 1.0  # identical docs
+    assert 0.5 <= pairs[(0, 1)] < 1.0  # one token differs
+
+
+def test_phash_banding_finds_planted_duplicates(spark, corpus_1500):
+    path, pairs, planted = corpus_1500
+    src = spark.read.parquet(path)
+    cand = dedup.phash_near_dup_candidates(src, max_hamming=8).toPandas()
+    # exact duplicates share phash (hamming 0) and must all be found
+    dup_ids = set(planted.loc[planted.planted == "dup_exact", "image_id"])
+    found = set(cand["id_a"]) | set(cand["id_b"])
+    assert dup_ids <= found
+    assert (cand["hamming"] <= 8).all()
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((400, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(400), "embedding": list(map(list, vecs))})
+    emb = spark.createDataFrame(pdf)
+    query = [float(x) for x in vecs[0]]
+    others = emb.where(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in similarity.brute_force_topk(others, query, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in similarity.ivf_ann(others, query, dim=16, k=10, n_cells=8, n_probe=4).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5  # probing half the cells
+
+
+def test_lsh_ann_subset_of_bucket(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((300, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": list(map(list, vecs))})
+    emb = spark.createDataFrame(pdf)
+    query = [float(x) for x in vecs[5]]
+    got = similarity.lsh_bucket_ann(emb, query, dim=8, k=5, n_planes=4).toPandas()
+    assert 5 in set(got["vec_id"])  # the query vector itself is in its bucket
+    assert got["cosine"].iloc[0] >= got["cosine"].iloc[-1]
