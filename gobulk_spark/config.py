@@ -36,3 +36,7 @@ class PipelineConfig:
     dup_broadcast_max: int = 5_000_000
     shuffle_partitions: int | None = None  # None = leave session setting
     arrow_batch_rows: int = 2048
+    # fused throughput mode: parse is not staged to parquet, it fuses
+    # into the store job (decided frame cached for the three writes).
+    # Resume granularity coarsens from per-phase to per-run.
+    fused: bool = False

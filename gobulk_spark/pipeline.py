@@ -103,9 +103,10 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
 
     # ---------------- phase: parse (decode + models, vectorized) -----------
     feats_path = lineage.stage_dir(out, rid, "features")
-    ck = cfg.resume and lineage.phase_committed(out, rid, "parse")
-    if not ck:
-        t0 = time.time()
+
+    def _parse_frame() -> DataFrame:
+        """The (lazy) parse DataFrame: marker/dup anti-join -> salted
+        repartition -> Arrow parse stage."""
         src = src_scan.read_source(spark, cfg.source_path)
         if cfg.incremental:
             marker = lineage.processed_image_ids(spark, out)
@@ -118,9 +119,19 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
             src = src_scan.anti_join_ids(src, dups, broadcast=n_dups <= cfg.dup_broadcast_max)
         n_part = spark.sparkContext.defaultParallelism * 2
         salted = _salted_repartition(src, cfg, n_part)
-        feats = salted.mapInPandas(
+        return salted.mapInPandas(
             make_parse_stage(cfg.stop_on_error), schema=PARSE_OUTPUT_SCHEMA
         )
+
+    ck = cfg.resume and lineage.phase_committed(out, rid, "parse")
+    if cfg.fused:
+        # throughput mode: no features staging; parse fuses into the
+        # store job below. Resume granularity coarsens to the whole
+        # process step (gobulk ContainerBulkSize=inf analogue).
+        ck = ck or {"phase": "parse", "status": "fused-into-store"}
+    elif not ck:
+        t0 = time.time()
+        feats = _parse_frame()
         # row count via observation on the write job — no second scan
         obs = Observation(f"parse-{rid}")
         feats = feats.observe(obs, F.count(F.lit(1)).alias("n_rows"))
@@ -134,8 +145,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     ck = cfg.resume and lineage.phase_committed(out, rid, "store")
     if not ck:
         t0 = time.time()
-        feats = spark.read.parquet(feats_path)
+        feats = _parse_frame() if cfg.fused else spark.read.parquet(feats_path)
         decided = decision_columns(feats, cfg.thresholds)
+        if cfg.fused:
+            # three writes follow (kept/audit/metrics); without staging,
+            # cache the narrow decided frame so parse runs once
+            decided = decided.persist()
         if cfg.stop_on_error:
             n_issue = decided.where(F.col("action") == "issue").count()
             if n_issue:
@@ -175,6 +190,8 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         lineage.write_audit(audit, out, "store", rid)
         lineage.write_metrics(lineage.partition_metrics(decided, rid), out, "store", rid)
         stats = obs.get
+        if cfg.fused:
+            decided.unpersist()
         ck = lineage.commit_phase(
             out,
             rid,
