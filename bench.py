@@ -142,12 +142,27 @@ def run_pipeline_leg(master: str, source_path: str) -> dict:
         e2e_walls.append(time.time() - t0)
     wall = min(e2e_walls)
     rows = summary["phases"]["store"]["rows_in"]
+
+    # fused throughput mode: same results (tested byte-identical), no
+    # intermediate staging — the per-run-resume configuration
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    run_pipeline(
+        spark,
+        PipelineConfig(
+            source_path=source_path, out_dir=out_dir, run_id="bench",
+            resume=False, fused=True,
+        ),
+    )
+    fused_wall = time.time() - t0
     spark.stop()
     return {
         "master": master,
         "rows": rows,
         "end_to_end_wall_s": round(wall, 2),
         "end_to_end_images_per_sec": round(rows / wall, 1),
+        "fused_wall_s": round(fused_wall, 2),
+        "fused_images_per_sec": round(rows / fused_wall, 1),
         "compute_wall_s_median": round(compute_median, 2),
         "compute_wall_s_min": round(min(walls), 2),
         "compute_wall_s_cold": round(cold, 2),
