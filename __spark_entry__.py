@@ -339,6 +339,14 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(e, dim, min_cosine=0.6, n_planes=6)
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup survivor set (min-id per fingerprint) over documents."""
+    from gobulk_spark.operators.dedup import dedup_exact
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_exact(d, "doc_id", "text").select("doc_id", "source")
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session counts per user: gap > 30 min starts a new session
     (lag window + conditional count — the sessionization idiom)."""
@@ -420,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_windows": q_hourly_event_windows,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "top_suppliers_per_nation": q_top_suppliers_per_nation,
+        "dedup_survivors": q_dedup_survivors,
         "sessionization": q_sessionization,
         "pricing_rollup": q_pricing_rollup,
         "event_type_pivot": q_event_type_pivot,
@@ -602,6 +611,13 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY s.s_acctbal DESC, s.s_name ASC) AS rk
                 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
             ) WHERE rk <= 3
+        """,
+        "dedup_survivors": """
+            SELECT d.doc_id, d.source
+            FROM documents d
+            JOIN (SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id
+                  FROM documents GROUP BY 1) s
+              ON s.doc_id = d.doc_id
         """,
         "sessionization": """
             WITH g AS (
