@@ -124,15 +124,16 @@ def run_pipeline_leg(master: str, source_path: str) -> dict:
         return time.time() - t0
 
     cold = compute_leg()  # includes python worker spin-up + model fit
-    # the sandbox VM shows multi-second ambient-noise events; min-of-4
+    # the sandbox VM shows multi-second ambient-noise events; min-of-N
     # is the least-contended estimate of what the hardware sustains
-    walls = [compute_leg() for _ in range(4)]
+    n_trials = 2 if master == "local[2]" else 3  # bound total bench wall
+    walls = [compute_leg() for _ in range(n_trials)]
     cached.unpersist()
     compute_median = statistics.median(walls)
 
-    # end-to-end: best of 2 runs (same noise rationale)
+    # end-to-end: best of 2 runs (1 on the slow leg; same noise rationale)
     e2e_walls, summary = [], None
-    for attempt in range(2):
+    for attempt in range(1 if master == "local[2]" else 2):
         shutil.rmtree(out_dir, ignore_errors=True)
         cfg = PipelineConfig(
             source_path=source_path, out_dir=out_dir, run_id="bench", resume=False
@@ -207,10 +208,14 @@ def main() -> None:
             text=True,
             cwd=REPO,
         )
-        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
-        legs[master] = json.loads(line)
+        try:
+            line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+            legs[master] = json.loads(line)
+        except (IndexError, json.JSONDecodeError):
+            legs[master] = {"master": master, "error": r.stderr[-500:]}
 
     l2, l8, l32 = legs["local[2]"], legs["local[8]"], legs["local[32]"]
+    ok = all("compute_wall_s_min" in l for l in (l2, l8, l32))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {
         "metric": "total_headline_query_sec",
@@ -219,7 +224,7 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipeline": {
-            "rows": l32["rows"],
+            "rows": l32.get("rows"),
             "source_bytes": os.path.getsize(source),
             "source_read_s_before_warm": first_read_s,
             "legs": legs,
@@ -236,7 +241,9 @@ def main() -> None:
                 "end_to_end_n8_to_n32": _eff(
                     l8["end_to_end_wall_s"], l32["end_to_end_wall_s"]
                 ),
-            },
+            }
+            if ok
+            else {"error": "a scaling leg failed; see legs"},
         },
     }
     print(json.dumps(result))
