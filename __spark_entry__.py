@@ -79,7 +79,10 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = _t(spark, sf_dir, "documents")
+    # Catalyst cannot prune columns through an opaque UDF: project to the
+    # two columns the stage reads BEFORE mapInPandas so the parquet scan
+    # (ReadSchema) carries doc_id+text only.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     feats = docs.mapInPandas(
         stage,
         schema="doc_id long, lang_pred string, lang_conf double, ppl double, "
@@ -353,7 +356,9 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # (ts, event_id) tie-break: equal timestamps within a user would make
+    # lag() order-dependent — a latent flake without the second key
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("timestamp").cast("long") - F.lag(
         F.col("ts").cast("timestamp").cast("long")
     ).over(w)
@@ -444,11 +449,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # ' +' regex split matches gobulk_spark.operators.text.tokens() (and
+    # the rest of this file) on documents with consecutive spaces
     shingle_cte = """
     toks AS (
         SELECT doc_id,
-               unnest(string_split(trim(text), ' ')) AS tok,
-               unnest(range(1, len(string_split(trim(text), ' ')) + 1)) AS pos
+               unnest(string_split_regex(trim(text), ' +')) AS tok,
+               unnest(range(1, len(string_split_regex(trim(text), ' +')) + 1)) AS pos
         FROM documents
     ),
     sh AS (
@@ -502,7 +509,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
             )
             SELECT doc_id, max(c) / sum(c) AS max_token_freq_ratio,
-                   sum(c) AS n_tokens
+                   CAST(sum(c) AS BIGINT) AS n_tokens
             FROM tf GROUP BY doc_id
         """,
         "ngram_jaccard_pairs": f"""
@@ -623,11 +630,12 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
                 SELECT user_id,
                        epoch(ts) - lag(epoch(ts)) OVER (
-                           PARTITION BY user_id ORDER BY ts) AS gap
+                           PARTITION BY user_id ORDER BY ts, event_id) AS gap
                 FROM events
             )
             SELECT user_id,
-                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
         """,
@@ -638,12 +646,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "event_type_pivot": """
-            SELECT hour(ts) AS hour_of_day,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+            SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
             FROM events GROUP BY 1
         """,
         "value_quantiles": """

@@ -61,6 +61,14 @@ def test_query_runs_and_matches_oracle(spark, duck, name):
     a, b = _canon(sdf), _canon(ddf)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # the driver's value hash is dtype-FAMILY-sensitive: DuckDB
+        # sum(int)->HUGEINT materializes as float64 and hash-fails against
+        # a Spark BIGINT even when values match (r01: max_token_freq,
+        # sessionization, event_type_pivot), while int32-vs-int64 passes
+        # (r01: minhash band). Gate on the family, not the width.
+        fam = {"i": "i", "u": "i"}
+        ak, bk = fam.get(av.dtype.kind, av.dtype.kind), fam.get(bv.dtype.kind, bv.dtype.kind)
+        assert ak == bk, f"{name}.{c}: dtype {av.dtype} vs oracle {bv.dtype}"
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             bad = ~(
                 (av.isna() & bv.isna())
