@@ -146,14 +146,32 @@ def partition_metrics(decided: DataFrame, run_id: str) -> DataFrame:
     )
 
 
-def processed_image_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
+def processed_image_ids(
+    spark: SparkSession,
+    out_dir: str,
+    exclude_run_id: str | None = None,
+    exclude_phases: tuple[str, ...] | None = None,
+) -> DataFrame | None:
     """Marker for incremental runs: every image_id any prior run audited.
 
     gobulk analogue: Iteration.LastTrackedContainer / resume marker
     (listener.go:107, runner.go:60-63). At warehouse scale this becomes
     an Iceberg incremental snapshot read instead of an anti-join.
+
+    ``exclude_run_id`` drops the named run's own audit rows from the
+    marker (partition-pruned on the run=/wphase= directory keys). A
+    retried phase must see the same input as its first attempt, never be
+    masked by its own half-committed audit (idempotency under partial
+    failure). ``exclude_phases`` limits the exclusion to those phases of
+    the excluded run: the parse phase excludes only ("store",) so the
+    committed scan audit still subsumes the duplicate anti-join.
     """
     audit = read_audit(spark, out_dir)
     if audit is None:
         return None
+    if exclude_run_id is not None:
+        own = F.col("run") == exclude_run_id
+        if exclude_phases is not None:
+            own = own & F.col("wphase").isin(*exclude_phases)
+        audit = audit.where(~own)
     return audit.select("image_id").distinct()

@@ -73,7 +73,10 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         t0 = time.time()
         src = src_scan.read_source(spark, cfg.source_path)
         if cfg.incremental:
-            marker = lineage.processed_image_ids(spark, out)
+            # exclude THIS run from the marker: a retried scan must see
+            # the same input as the first attempt, not be masked by its
+            # own half-committed audit (idempotency under crash-retry)
+            marker = lineage.processed_image_ids(spark, out, exclude_run_id=rid)
             if marker is not None:
                 src = src.join(marker, "image_id", "left_anti")
         # narrow-projection dedup: Catalyst prunes the scan to 3 columns;
@@ -109,9 +112,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         repartition -> Arrow parse stage."""
         src = src_scan.read_source(spark, cfg.source_path)
         if cfg.incremental:
-            marker = lineage.processed_image_ids(spark, out)
-            # the scan-phase audit already contains this run's duplicates,
-            # so the marker subsumes the dup anti-join on incremental runs
+            # this run's committed scan audit subsumes the dup anti-join,
+            # but its own store audit must NOT mask rows on a fused-mode
+            # retry (crash between store write_audit and commit)
+            marker = lineage.processed_image_ids(
+                spark, out, exclude_run_id=rid, exclude_phases=("store",)
+            )
             if marker is not None:
                 src = src.join(marker, "image_id", "left_anti")
         else:

@@ -94,28 +94,64 @@ def rule_masks(feat: pd.DataFrame, t: Thresholds = DEFAULT_THRESHOLDS) -> dict[s
     wh_min = np.minimum(feat["w"], feat["h"])
     wh_max = np.maximum(feat["w"], feat["h"]).astype("float64")
     aspect = wh_max / np.maximum(wh_min, 1)
+
+    def closed(mask, *cols: str):
+        """Fail CLOSED on null features: numpy comparisons turn NaN into
+        False, which would fail open before decide()'s fillna(True) ever
+        sees an NA — mirror the Spark side's coalesce(cond, True)."""
+        out = pd.Series(np.asarray(mask, dtype=bool), index=feat.index)
+        for c in cols:
+            out |= feat[c].isna()
+        return out
+
+    def and3(a_mask, a_col: str, b_mask, b_col: str):
+        """coalesce(A AND B, TRUE) under SQL three-valued logic: a NULL
+        conjunct fires the rule UNLESS the other conjunct is definitely
+        false (null AND false = false on the Spark side)."""
+        a, b = pd.Series(np.asarray(a_mask, dtype=bool), index=feat.index), pd.Series(
+            np.asarray(b_mask, dtype=bool), index=feat.index
+        )
+        a_na, b_na = feat[a_col].isna(), feat[b_col].isna()
+        return (a & b) | (a_na & (b | b_na)) | (b_na & a)
+
     return {
         "caption_missing": blank,
-        "too_short_chars": feat["n_chars"] < t.min_chars,
-        "too_few_words": feat["n_words"] < t.min_words,
-        "too_long_chars": feat["n_chars"] > t.max_chars,
-        "image_too_small": pd.Series(wh_min < t.min_image_side, index=feat.index),
-        "bad_aspect_ratio": pd.Series(aspect > t.max_aspect, index=feat.index),
-        "image_meta_mismatch": (feat["decoded_w"] != feat["w"]) | (feat["decoded_h"] != feat["h"]),
-        "image_flat": feat["pix_entropy"] < t.min_pix_entropy,
-        "image_bad_exposure": (feat["brightness"] < t.min_brightness)
-        | (feat["brightness"] > t.max_brightness),
-        "high_symbol_ratio": feat["symbol_ratio"] > t.max_symbol_ratio,
-        "high_digit_ratio": feat["digit_ratio"] > t.max_digit_ratio,
-        "char_repetition": feat["char_run"].astype(bool),
-        "word_repetition": (feat["max_word_freq_ratio"] > t.max_word_freq_ratio)
-        & (feat["n_words"] >= t.word_rep_min_words),
-        "lang_conf_low": feat["lang_conf"] < t.min_lang_conf,
+        "too_short_chars": closed(feat["n_chars"] < t.min_chars, "n_chars"),
+        "too_few_words": closed(feat["n_words"] < t.min_words, "n_words"),
+        "too_long_chars": closed(feat["n_chars"] > t.max_chars, "n_chars"),
+        "image_too_small": closed(wh_min < t.min_image_side, "w", "h"),
+        "bad_aspect_ratio": closed(aspect > t.max_aspect, "w", "h"),
+        "image_meta_mismatch": closed(
+            (feat["decoded_w"] != feat["w"]) | (feat["decoded_h"] != feat["h"]),
+            "decoded_w", "decoded_h", "w", "h",
+        ),
+        "image_flat": closed(feat["pix_entropy"] < t.min_pix_entropy, "pix_entropy"),
+        "image_bad_exposure": closed(
+            (feat["brightness"] < t.min_brightness)
+            | (feat["brightness"] > t.max_brightness),
+            "brightness",
+        ),
+        "high_symbol_ratio": closed(
+            feat["symbol_ratio"] > t.max_symbol_ratio, "symbol_ratio"
+        ),
+        "high_digit_ratio": closed(feat["digit_ratio"] > t.max_digit_ratio, "digit_ratio"),
+        "char_repetition": closed(feat["char_run"].fillna(True).astype(bool), "char_run"),
+        "word_repetition": and3(
+            feat["max_word_freq_ratio"] > t.max_word_freq_ratio,
+            "max_word_freq_ratio",
+            feat["n_words"] >= t.word_rep_min_words,
+            "n_words",
+        ),
+        "lang_conf_low": closed(feat["lang_conf"] < t.min_lang_conf, "lang_conf"),
         "lang_not_allowed": ~feat["lang"].isin(sorted(ALLOWED_LANGS)),
-        "low_stopword_density": (feat["stopword_density"] < t.min_stopword_density)
-        & (feat["n_words"] >= t.stopword_min_words),
-        "high_perplexity": feat["ppl"] > t.max_ppl,
-        "toxicity": feat["toxicity_hits"] > 0,
+        "low_stopword_density": and3(
+            feat["stopword_density"] < t.min_stopword_density,
+            "stopword_density",
+            feat["n_words"] >= t.stopword_min_words,
+            "n_words",
+        ),
+        "high_perplexity": closed(feat["ppl"] > t.max_ppl, "ppl"),
+        "toxicity": closed(feat["toxicity_hits"] > 0, "toxicity_hits"),
     }
 
 

@@ -35,12 +35,19 @@ def _process_microbatch(batch: DataFrame, epoch_id: int, cfg: PipelineConfig) ->
     spark = batch.sparkSession
     rid = f"{cfg.run_id}-e{epoch_id}"
     out = cfg.out_dir
+    # input_file_name() returns '' (not NULL) inside foreachBatch, so a
+    # plain coalesce never falls back — nullif first
     src = batch.withColumn(
-        "source_file", F.coalesce(F.input_file_name(), F.lit("stream"))
+        "source_file",
+        F.coalesce(F.nullif(F.input_file_name(), F.lit("")), F.lit("stream")),
     )
     # in-batch content dedup (cross-batch dedup = the marker/audit check)
     dups = src_scan.find_duplicates(src, carry=("source_file",))
-    marker = lineage.processed_image_ids(spark, out)
+    # exclude this epoch's own store audit: a foreachBatch retry of the
+    # same epoch must not be masked by its half-committed outputs
+    marker = lineage.processed_image_ids(
+        spark, out, exclude_run_id=rid, exclude_phases=("store",)
+    )
     if marker is not None:
         src = src.join(marker, "image_id", "left_anti")
     deduped = src_scan.anti_join_ids(src, dups, broadcast=True)

@@ -13,7 +13,11 @@ def build(out_path: str | None = None) -> str:
     out_path = out_path or os.path.join(REPO, "dist", "gobulk_spark.zip")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     pkg = os.path.join(REPO, "gobulk_spark")
-    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+    # write per-process, then atomically rename: concurrent drivers
+    # (parallel bench legs / test sessions) share the target path and
+    # must never addPyFile a half-written zip
+    tmp_path = f"{out_path}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as z:
         for root, _dirs, files in os.walk(pkg):
             if "__pycache__" in root:
                 continue
@@ -21,6 +25,7 @@ def build(out_path: str | None = None) -> str:
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, REPO))
+    os.replace(tmp_path, out_path)
     return out_path
 
 

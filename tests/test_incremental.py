@@ -68,3 +68,42 @@ def test_incremental_processes_only_new_rows(spark):
     kept = lineage.read_kept(spark, OUT).toPandas()
     assert set(kept["run"].unique()) == {"r1", "r2"}
     assert kept["image_id"].is_unique
+
+
+def test_incremental_scan_retry_is_idempotent(spark):
+    """Crash between the scan phase's write_audit and commit_phase, then
+    retry: the marker must not be poisoned by this run's own half-written
+    scan audit (which would empty the dup list and store duplicates)."""
+    out = "/tmp/gobulk_spark_test_out/incremental_retry"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(SRC, ignore_errors=True)
+    path = _write(1000)
+    run_pipeline(spark, PipelineConfig(source_path=path, out_dir=out, run_id="r1"))
+
+    path = _write(1300)
+    cfg2 = PipelineConfig(source_path=path, out_dir=out, run_id="r2", incremental=True)
+    s2 = run_pipeline(spark, cfg2)
+    n_dups_r2 = s2["phases"]["scan"]["n_dups"]
+    assert n_dups_r2 > 0, "precondition: new rows must contain planted duplicates"
+    audit_full = lineage.read_audit(spark, out).toPandas()
+    kept_full = lineage.read_kept(spark, out).toPandas()
+
+    # simulate the crash state: r2's scan audit is on disk, nothing else
+    shutil.rmtree(os.path.join(out, "_checkpoint", "r2"))
+    shutil.rmtree(os.path.join(out, "_stage", "r2"), ignore_errors=True)
+    shutil.rmtree(os.path.join(out, "kept", "run=r2"))
+    shutil.rmtree(os.path.join(out, "audit", "wphase=store", "run=r2"))
+    shutil.rmtree(os.path.join(out, "metrics", "wphase=store", "run=r2"))
+
+    s2b = run_pipeline(spark, cfg2)
+    assert s2b["phases"]["scan"]["n_dups"] == n_dups_r2, "retry found fewer dups"
+    audit_retry = lineage.read_audit(spark, out).toPandas()
+    kept_retry = lineage.read_kept(spark, out).toPandas()
+    assert len(audit_retry) == len(audit_full)
+    assert kept_retry["image_id"].is_unique
+    assert sorted(kept_retry["image_id"]) == sorted(kept_full["image_id"])
+    # no duplicate sneaked into kept
+    dup_ids = set(
+        audit_retry.loc[audit_retry["rule_fired"] == "dedup_content_hash", "image_id"]
+    )
+    assert not (set(kept_retry["image_id"]) & dup_ids)
