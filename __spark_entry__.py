@@ -243,6 +243,44 @@ def q_existence_check_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changed_content_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash re-import classification (gobulk tracker key
+    (identifier, content_hash), tracker/gorm.go:441-449; D->U->C op
+    types executor.go:96-113). The simulated store holds every doc_id
+    divisible by 3; those divisible by 6 carry a STALE hash (changed
+    content). Incoming rows classify as:
+      skip   — id exists, hash unchanged (marker filters it)
+      update — id exists, hash changed, still passes rules
+      delete — id exists, hash changed, now fails rules
+      create — new id passing rules;  omit — new id failing them
+    """
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim("text")))
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim("text"), " +"))
+    keep = (n_chars >= 80) & (n_chars <= 380) & (n_tokens >= 15)
+    incoming = d.select("doc_id", fp.alias("content_hash"), keep.alias("keep"))
+    store = d.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 0, F.md5(F.concat(F.col("text"), F.lit("|v0"))))
+        .otherwise(fp)
+        .alias("stored_hash"),
+    )
+    action = (
+        F.when(F.col("stored_hash").isNull() & F.col("keep"), "create")
+        .when(F.col("stored_hash").isNull(), "omit")
+        .when(F.col("stored_hash") == F.col("content_hash"), "skip")
+        .when(F.col("keep"), "update")
+        .otherwise("delete")
+    )
+    return (
+        incoming.join(store, "doc_id", "left")
+        .select(action.alias("action"))
+        .groupBy("action")
+        .agg(F.count("*").alias("n_ops"))
+    )
+
+
 def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type counters (C6/K3 metrics analogue)."""
     e = _t(spark, sf_dir, "events")
@@ -429,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "marker_anti_join": q_marker_anti_join,
         "existence_check_actions": q_existence_check_actions,
+        "changed_content_actions": q_changed_content_actions,
         "metrics_rollup": q_metrics_rollup,
         "hourly_event_windows": q_hourly_event_windows,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -587,6 +626,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_ops,
                    round(sum(o_totalprice), 2) AS total
             FROM orders o GROUP BY 1
+        """,
+        "changed_content_actions": """
+            WITH inc AS (
+                SELECT doc_id, md5(lower(trim(text))) AS content_hash,
+                       (length(text) >= 80 AND length(text) <= 380
+                        AND len(string_split_regex(trim(text), ' +')) >= 15) AS keep
+                FROM documents
+            ), store AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 6 = 0 THEN md5(text || '|v0')
+                            ELSE md5(lower(trim(text))) END AS stored_hash
+                FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT CASE WHEN s.stored_hash IS NULL AND inc.keep THEN 'create'
+                        WHEN s.stored_hash IS NULL THEN 'omit'
+                        WHEN s.stored_hash = inc.content_hash THEN 'skip'
+                        WHEN inc.keep THEN 'update' ELSE 'delete' END AS action,
+                   count(*) AS n_ops
+            FROM inc LEFT JOIN store s USING (doc_id)
+            GROUP BY 1
         """,
         "metrics_rollup": """
             SELECT event_type, count(*) AS n_events,

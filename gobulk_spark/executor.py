@@ -1,0 +1,99 @@
+"""Operation classification + ordered execution (the Executor phase).
+
+gobulk's Executor applies planned operations in a fixed order —
+Deletes, then Updates, then Creates, then Omits (executor.go:96-113;
+op types operation.go:45-54). Its e2e format emits Update when the row
+already exists in the output store (runner_test.go:638-702). This
+module re-expresses that contract over the kept parquet store:
+
+- classify: a decided row whose image_id already exists in the kept
+  store becomes an *update* (if it still passes the rules) or a
+  *delete* (if the re-imported content now fails them); unseen ids are
+  *create* / *omit* as before. Issues stay issues — a row that cannot
+  be parsed is routed, never executed (issue.go:137-146).
+- execute: Deletes first (prior kept rows of update∪delete ids are
+  removed via staged directory rewrite), then Updates+Creates land
+  together as this run's kept append. Omits and issues touch only the
+  audit table.
+
+Retry note: on a crashed store-phase retry after the delete step ran,
+re-classification sees the prior rows already gone and yields
+create/omit instead of update/delete. The kept-store END STATE is
+identical (the execution is idempotent); only the audit action label
+can downgrade on a torn retry. gobulk has the same property — its
+executor re-runs operations against the mutated store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import lineage
+
+#: action -> execution order (gobulk executor.go:96-113)
+EXECUTION_ORDER = ("delete", "update", "create", "omit")
+
+
+def classify_actions(decided: DataFrame, existing_ids: DataFrame | None) -> DataFrame:
+    """Refine the plan-phase action with an existence check.
+
+    ``existing_ids`` is the distinct image_id frame of the current kept
+    store (None on a first run — everything stays create/omit/issue).
+    The join is left+broadcast when the store is small; at warehouse
+    scale this is the shuffle join on the primary key that any upsert
+    pays (Iceberg MERGE does the same under the hood).
+    """
+    if existing_ids is None:
+        return decided
+    marked = existing_ids.select("image_id").withColumn("_exists", F.lit(1))
+    return (
+        decided.join(marked, "image_id", "left")
+        .withColumn(
+            "action",
+            F.when(F.col("action") == "issue", "issue")
+            .when(F.col("keep") & F.col("_exists").isNotNull(), "update")
+            .when(F.col("keep"), "create")
+            .when(F.col("_exists").isNotNull(), "delete")
+            .otherwise("omit"),
+        )
+        .drop("_exists")
+    )
+
+
+def execute_deletes(
+    spark: SparkSession, out_dir: str, run_id: str, decided: DataFrame
+) -> list[str]:
+    """The D step: remove prior kept rows for every update/delete id."""
+    affected = decided.where(F.col("action").isin("update", "delete")).select(
+        "image_id"
+    )
+    return lineage.delete_keys_from_prior_runs(spark, out_dir, run_id, affected)
+
+
+def kept_rows(decided: DataFrame, columns: tuple[str, ...]) -> DataFrame:
+    """The U+C step's payload: rows that land in this run's kept dir."""
+    return (
+        decided.where(F.col("action").isin("update", "create"))
+        .withColumn("caption", F.col("scrubbed_caption"))
+        .select(*columns)
+    )
+
+
+def store_audit_columns(decided: DataFrame, run_id: str) -> DataFrame:
+    """Audit projection for the store phase, including issue payloads."""
+    is_issue = F.col("action") == "issue"
+    return lineage.audit_columns(
+        decided,
+        run_id,
+        F.when(is_issue, "parse")
+        .when(F.col("action").isin("omit", "delete"), "plan")
+        .otherwise("execute"),
+        F.col("action"),
+        F.col("drop_reason"),
+        F.col("drop_reason"),
+        F.when(is_issue, "data_parsing").otherwise(F.lit(None).cast("string")),
+        content_hash_col=F.col("content_hash"),
+        payload_col=F.when(is_issue, F.col("scrubbed_caption")),
+        error_col=F.when(is_issue, F.col("issue_note")),
+    )

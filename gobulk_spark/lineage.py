@@ -1,4 +1,4 @@
-"""Traceability tables: audit, metrics, checkpoint manifest.
+"""Traceability tables: audit, metrics, checkpoint manifest, kept store.
 
 gobulk's Tracker contract re-expressed over parquet directories (the
 Iceberg jars are not in this image; the table-access layer lives here so
@@ -7,71 +7,91 @@ local change, per SURVEY §7):
 
 - audit table   ≙ Issue rows + Operation rows (issue.go:52-64,
   operation.go:9-20): one row per input row per run, with phase, action,
-  rule_fired, drop_reason, issue_type, partition_id.
+  rule_fired, drop_reason, issue_type, content_hash, payload, error_msg,
+  partition_id.
 - metrics table ≙ MetricsTracker counters (metrics_tracker.go:4-14).
 - checkpoint    ≙ Iteration / started-finished markers (iteration.go:10-31,
   tracker/gorm.go:211-244): a JSON manifest per (run_id, phase), written
   tmp-then-rename so the commit flip is atomic — phase outputs staged
   first, checkpoint flipped last (idempotent resume under partial
   failure).
+
+All manifest/directory metadata goes through the Hadoop FileSystem API
+(fsutil.Fs), so ``out_dir`` may be any Hadoop-supported URI (file://,
+hdfs://, s3a://) — never the driver's local ``os`` module.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .fsutil import Fs
+
 AUDIT_SCHEMA = (
     "run_id string, image_id string, source_file string, phase string, "
     "action string, rule_fired string, drop_reason string, issue_type string, "
+    "content_hash string, payload string, error_msg string, "
     "partition_id int, created timestamp"
 )
 
-PHASES = ("scan", "parse", "store")
+PHASES = ("scan", "parse", "plan", "store")
+
+
+def _join(*parts: str) -> str:
+    return "/".join(p.rstrip("/") for p in parts)
 
 
 def audit_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "audit")
+    return _join(out_dir, "audit")
 
 
 def metrics_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "metrics")
+    return _join(out_dir, "metrics")
 
 
 def kept_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "kept")
+    return _join(out_dir, "kept")
 
 
-def read_kept(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_kept(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """All kept rows across runs (run/lang recovered as partition cols)."""
-    return spark.read.parquet(kept_dir(out_dir))
+    fs = Fs(spark, out_dir)
+    path = kept_dir(out_dir)
+    if not any(e.startswith("run=") for e in fs.listdir(path)):
+        return None
+    return spark.read.parquet(path)
 
 
 def stage_dir(out_dir: str, run_id: str, name: str) -> str:
-    return os.path.join(out_dir, "_stage", run_id, name)
+    return _join(out_dir, "_stage", run_id, name)
 
 
 def _ckpt_path(out_dir: str, run_id: str, phase: str) -> str:
-    return os.path.join(out_dir, "_checkpoint", run_id, f"{phase}.json")
+    return _join(out_dir, "_checkpoint", run_id, f"{phase}.json")
 
 
-def phase_committed(out_dir: str, run_id: str, phase: str) -> dict | None:
+def phase_committed(
+    out_dir: str, run_id: str, phase: str, spark: SparkSession | None = None
+) -> dict | None:
     """Manifest dict if the phase committed in a prior attempt, else None."""
+    spark = spark or SparkSession.getActiveSession()
+    fs = Fs(spark, out_dir)
     p = _ckpt_path(out_dir, run_id, phase)
-    if not os.path.exists(p):
+    if not fs.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(fs.read_text(p))
 
 
-def commit_phase(out_dir: str, run_id: str, phase: str, **info) -> dict:
+def commit_phase(
+    out_dir: str, run_id: str, phase: str, spark: SparkSession | None = None, **info
+) -> dict:
     """Atomically record a phase commit (stage outputs must exist already)."""
-    p = _ckpt_path(out_dir, run_id, phase)
-    os.makedirs(os.path.dirname(p), exist_ok=True)
+    spark = spark or SparkSession.getActiveSession()
+    fs = Fs(spark, out_dir)
     manifest = {
         "run_id": run_id,
         "phase": phase,
@@ -79,10 +99,7 @@ def commit_phase(out_dir: str, run_id: str, phase: str, **info) -> dict:
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         **info,
     }
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, p)  # the atomic snapshot flip
+    fs.write_text_atomic(_ckpt_path(out_dir, run_id, phase), json.dumps(manifest))
     return manifest
 
 
@@ -95,23 +112,37 @@ def write_audit(df: DataFrame, out_dir: str, phase: str, run_id: str) -> None:
     started/finished dance, solved by directory-scoped atomic replace).
     """
     df.write.mode("overwrite").parquet(
-        os.path.join(audit_dir(out_dir), f"wphase={phase}", f"run={run_id}")
+        _join(audit_dir(out_dir), f"wphase={phase}", f"run={run_id}")
     )
 
 
 def read_audit(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    fs = Fs(spark, out_dir)
     path = audit_dir(out_dir)
-    if not os.path.isdir(path) or not any(
-        e.startswith("wphase=") for e in os.listdir(path)
-    ):
+    if not any(e.startswith("wphase=") for e in fs.listdir(path)):
         return None
     return spark.read.parquet(path)  # wphase=/run= dirs discovered as partitions
 
 
 def audit_columns(
-    df: DataFrame, run_id: str, phase_col, action_col, rule_col, reason_col, issue_col
+    df: DataFrame,
+    run_id: str,
+    phase_col,
+    action_col,
+    rule_col,
+    reason_col,
+    issue_col,
+    content_hash_col=None,
+    payload_col=None,
+    error_col=None,
 ) -> DataFrame:
-    """Project any per-row frame to the audit schema."""
+    """Project any per-row frame to the audit schema.
+
+    payload/error_msg capture gobulk's Issue.Payload + Err text
+    (issue.go:52-64): a failed row can be debugged from the audit table
+    alone, without re-running it.
+    """
+    null_s = F.lit(None).cast("string")
     return df.select(
         F.lit(run_id).alias("run_id"),
         F.col("image_id"),
@@ -121,6 +152,11 @@ def audit_columns(
         rule_col.alias("rule_fired"),
         reason_col.alias("drop_reason"),
         issue_col.alias("issue_type"),
+        (content_hash_col if content_hash_col is not None else null_s).alias(
+            "content_hash"
+        ),
+        (payload_col if payload_col is not None else null_s).alias("payload"),
+        (error_col if error_col is not None else null_s).alias("error_msg"),
         F.spark_partition_id().alias("partition_id"),
         F.current_timestamp().alias("created"),
     )
@@ -128,7 +164,7 @@ def audit_columns(
 
 def write_metrics(df: DataFrame, out_dir: str, phase: str, run_id: str) -> None:
     df.write.mode("overwrite").parquet(
-        os.path.join(metrics_dir(out_dir), f"wphase={phase}", f"run={run_id}")
+        _join(metrics_dir(out_dir), f"wphase={phase}", f"run={run_id}")
     )
 
 
@@ -139,24 +175,29 @@ def partition_metrics(decided: DataFrame, run_id: str) -> DataFrame:
         .agg(
             F.count("*").alias("rows_in"),
             F.sum(F.col("keep").cast("long")).alias("rows_kept"),
-            F.sum((F.col("action") == "omit").cast("long")).alias("rows_dropped"),
+            F.sum(F.col("action").isin("omit", "delete").cast("long")).alias(
+                "rows_dropped"
+            ),
             F.sum((F.col("action") == "issue").cast("long")).alias("rows_issued"),
         )
         .withColumn("run_id", F.lit(run_id))
     )
 
 
-def processed_image_ids(
+def processed_keys(
     spark: SparkSession,
     out_dir: str,
     exclude_run_id: str | None = None,
     exclude_phases: tuple[str, ...] | None = None,
 ) -> DataFrame | None:
-    """Marker for incremental runs: every image_id any prior run audited.
+    """Marker for incremental runs: every (image_id, content_hash) pair
+    any prior run audited.
 
-    gobulk analogue: Iteration.LastTrackedContainer / resume marker
-    (listener.go:107, runner.go:60-63). At warehouse scale this becomes
-    an Iceberg incremental snapshot read instead of an anti-join.
+    gobulk's dedup/track key is (IterationID, InputRepository,
+    InputIdentifier, ContentHash) (tracker/gorm.go:441-449): the SAME
+    identifier arriving with NEW content is not "already processed" —
+    it re-enters the pipeline and becomes an update. Keying the marker
+    on the pair preserves that re-import contract.
 
     ``exclude_run_id`` drops the named run's own audit rows from the
     marker (partition-pruned on the run=/wphase= directory keys). A
@@ -165,6 +206,9 @@ def processed_image_ids(
     failure). ``exclude_phases`` limits the exclusion to those phases of
     the excluded run: the parse phase excludes only ("store",) so the
     committed scan audit still subsumes the duplicate anti-join.
+
+    At warehouse scale this becomes an Iceberg incremental snapshot
+    read instead of a full-audit distinct.
     """
     audit = read_audit(spark, out_dir)
     if audit is None:
@@ -174,4 +218,88 @@ def processed_image_ids(
         if exclude_phases is not None:
             own = own & F.col("wphase").isin(*exclude_phases)
         audit = audit.where(~own)
-    return audit.select("image_id").distinct()
+    return audit.select("image_id", "content_hash").distinct()
+
+
+def prior_kept_ids(
+    spark: SparkSession, out_dir: str, exclude_run_id: str
+) -> DataFrame | None:
+    """Distinct image_ids currently in the kept store, excluding the
+    in-flight run's own directory (the existence set for classifying
+    create vs update vs delete — gobulk Output.Elements, output.go:12-16)."""
+    kept = read_kept(spark, out_dir)
+    if kept is None:
+        return None
+    return (
+        kept.where(F.col("run") != exclude_run_id).select("image_id").distinct()
+    )
+
+
+def recover_kept_swaps(spark: SparkSession, out_dir: str) -> list[str]:
+    """Heal every half-finished kept-directory swap before ANY read.
+
+    A crash between replace_dir's two renames leaves ``.run=X.bak-rid``
+    holding the only copy of run X's rows. Classification and the
+    delete step read the kept store, so recovery must run first — a
+    stranded backup would otherwise be invisible (its run missing from
+    the store) and never restored. Called at store-phase entry.
+    """
+    fs = Fs(spark, out_dir)
+    root = kept_dir(out_dir)
+    healed = []
+    for name in fs.listdir(root):
+        if name.startswith(".run=") and ".bak-" in name:
+            dst_name = name[1:].split(".bak-")[0]
+            fs.recover_replace_dir(_join(root, dst_name), _join(root, name))
+            healed.append(name)
+    return healed
+
+
+def delete_keys_from_prior_runs(
+    spark: SparkSession, out_dir: str, run_id: str, keys: DataFrame
+) -> list[str]:
+    """Execute Delete operations: remove ``keys`` (an image_id frame)
+    from every prior run's kept directory. Returns the rewritten dirs.
+
+    gobulk executes Deletes before Updates and Creates
+    (executor.go:96-113); here a Delete is a rewrite of each affected
+    run=X directory minus the keys, staged then atomically swapped
+    (fsutil.replace_dir). The rewrite is idempotent — re-deleting an
+    absent key is a no-op — so a crashed store phase can simply re-run.
+
+    Scale note: with an Iceberg/Delta kept table this whole function is
+    one MERGE/DELETE snapshot commit with file-level pruning; the
+    directory rewrite is the parquet-dir equivalent, bounded by the
+    number of affected *runs*, not table size, and each rewrite prunes
+    to dirs that actually contain affected ids.
+    """
+    kept = read_kept(spark, out_dir)
+    if kept is None:
+        return []
+    fs = Fs(spark, out_dir)
+    keys = keys.select("image_id").distinct()
+    affected_runs = [
+        r["run"]
+        for r in kept.join(F.broadcast(keys), "image_id", "left_semi")
+        .where(F.col("run") != run_id)
+        .select("run")
+        .distinct()
+        .collect()
+    ]
+    rewritten = []
+    for prior in sorted(affected_runs):
+        dst = _join(kept_dir(out_dir), f"run={prior}")
+        staged = stage_dir(out_dir, run_id, f"rewrite/run={prior}")
+        backup = _join(kept_dir(out_dir), f".run={prior}.bak-{run_id}")
+        # heal any half-finished swap from a crashed earlier attempt
+        fs.recover_replace_dir(dst, backup)
+        (
+            spark.read.parquet(dst)
+            .join(F.broadcast(keys), "image_id", "left_anti")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(staged)
+        )
+        fs.replace_dir(staged, dst, backup)
+        rewritten.append(dst)
+    return rewritten

@@ -28,7 +28,7 @@ from dataclasses import asdict
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from . import lineage
+from . import executor, lineage
 from .config import PipelineConfig
 from .plan import decision_columns
 from .sources import scan as src_scan
@@ -37,6 +37,7 @@ from .stages import PARSE_OUTPUT_SCHEMA, make_parse_stage
 KEPT_COLUMNS = (
     "image_id",
     "source_file",
+    "content_hash",
     "w",
     "h",
     "fmt",
@@ -71,14 +72,17 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     ck = cfg.resume and lineage.phase_committed(out, rid, "scan")
     if not ck:
         t0 = time.time()
-        src = src_scan.read_source(spark, cfg.source_path)
+        src = src_scan.with_content_hash(src_scan.read_source(spark, cfg.source_path))
         if cfg.incremental:
-            # exclude THIS run from the marker: a retried scan must see
-            # the same input as the first attempt, not be masked by its
-            # own half-committed audit (idempotency under crash-retry)
-            marker = lineage.processed_image_ids(spark, out, exclude_run_id=rid)
+            # marker keys on (image_id, content_hash): a re-scanned id
+            # with NEW content passes the anti-join and re-enters as an
+            # update/delete (gobulk tracker/gorm.go:441-449). Exclude
+            # THIS run from the marker: a retried scan must see the same
+            # input as the first attempt, not be masked by its own
+            # half-committed audit (idempotency under crash-retry).
+            marker = lineage.processed_keys(spark, out, exclude_run_id=rid)
             if marker is not None:
-                src = src.join(marker, "image_id", "left_anti")
+                src = src.join(marker, ["image_id", "content_hash"], "left_anti")
         # narrow-projection dedup: Catalyst prunes the scan to 3 columns;
         # source_file rides along so the audit needs no join back
         src_scan.find_duplicates(src, carry=("source_file",)).write.mode(
@@ -95,6 +99,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
                 F.lit("dedup_content_hash"),
                 F.lit("duplicate"),
                 F.lit(None).cast("string"),
+                content_hash_col=F.col("content_hash"),
             ),
             out,
             "scan",
@@ -110,16 +115,16 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     def _parse_frame() -> DataFrame:
         """The (lazy) parse DataFrame: marker/dup anti-join -> salted
         repartition -> Arrow parse stage."""
-        src = src_scan.read_source(spark, cfg.source_path)
+        src = src_scan.with_content_hash(src_scan.read_source(spark, cfg.source_path))
         if cfg.incremental:
             # this run's committed scan audit subsumes the dup anti-join,
             # but its own store audit must NOT mask rows on a fused-mode
             # retry (crash between store write_audit and commit)
-            marker = lineage.processed_image_ids(
+            marker = lineage.processed_keys(
                 spark, out, exclude_run_id=rid, exclude_phases=("store",)
             )
             if marker is not None:
-                src = src.join(marker, "image_id", "left_anti")
+                src = src.join(marker, ["image_id", "content_hash"], "left_anti")
         else:
             dups = spark.read.parquet(dups_path)
             src = src_scan.anti_join_ids(src, dups, broadcast=n_dups <= cfg.dup_broadcast_max)
@@ -151,52 +156,51 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     ck = cfg.resume and lineage.phase_committed(out, rid, "store")
     if not ck:
         t0 = time.time()
+        # heal half-finished kept swaps from a crashed earlier attempt
+        # BEFORE anything reads the kept store
+        lineage.recover_kept_swaps(spark, out)
         feats = _parse_frame() if cfg.fused else spark.read.parquet(feats_path)
         decided = decision_columns(feats, cfg.thresholds)
-        if cfg.fused:
-            # three writes follow (kept/audit/metrics); without staging,
-            # cache the narrow decided frame so parse runs once
+        # existence check refines create/omit into update/delete for ids
+        # already in the kept store (gobulk Update/Delete ops,
+        # executor.go:96-113; format emits Update when the row exists,
+        # runner_test.go:638-702)
+        existing = lineage.prior_kept_ids(spark, out, exclude_run_id=rid)
+        decided = executor.classify_actions(decided, existing)
+        if cfg.fused or existing is not None:
+            # multiple actions consume the frame (delete step + three
+            # writes); cache the narrow decided frame so the expensive
+            # upstream (parse in fused mode) runs once
             decided = decided.persist()
         if cfg.stop_on_error:
             n_issue = decided.where(F.col("action") == "issue").count()
             if n_issue:
                 raise RuntimeError(f"StopOnError: {n_issue} issue rows in parse output")
-        kept = (
-            decided.where(F.col("keep"))
-            .withColumn("caption", F.col("scrubbed_caption"))
-            .select(*KEPT_COLUMNS)
-        )
+        # --- D: remove prior kept rows of update/delete ids (staged
+        #        rewrite + atomic swap; idempotent under retry) ---------
+        if existing is not None:
+            executor.execute_deletes(spark, out, rid, decided)
+        # --- U + C: this run's kept rows land in run=rid ---------------
         # per-run subdir + overwrite = idempotent under store-phase retry
         # even on incremental runs (run 2's retry never touches run 1)
-        kept.write.mode("overwrite").partitionBy("lang").parquet(
-            os.path.join(lineage.kept_dir(out), f"run={rid}")
-        )
-        audit = lineage.audit_columns(
-            decided,
-            rid,
-            F.when(F.col("action") == "issue", "parse")
-            .when(F.col("action") == "omit", "plan")
-            .otherwise("execute"),
-            F.col("action"),
-            F.col("drop_reason"),
-            F.col("drop_reason"),
-            F.when(F.col("action") == "issue", "data_parsing").otherwise(
-                F.lit(None).cast("string")
-            ),
-        )
+        executor.kept_rows(decided, KEPT_COLUMNS).write.mode("overwrite").partitionBy(
+            "lang"
+        ).parquet(os.path.join(lineage.kept_dir(out), f"run={rid}"))
+        # --- O: omits/issues reach only the audit + metrics tables -----
+        audit = executor.store_audit_columns(decided, rid)
         # run totals ride the audit write as an observation — no read-back
         obs = Observation(f"store-{rid}")
         audit = audit.observe(
             obs,
             F.count(F.lit(1)).alias("rows_in"),
-            F.sum((F.col("action") == "create").cast("long")).alias("kept"),
-            F.sum((F.col("action") == "omit").cast("long")).alias("dropped"),
+            F.sum(F.col("action").isin("create", "update").cast("long")).alias("kept"),
+            F.sum(F.col("action").isin("omit", "delete").cast("long")).alias("dropped"),
             F.sum((F.col("action") == "issue").cast("long")).alias("issues"),
         )
         lineage.write_audit(audit, out, "store", rid)
         lineage.write_metrics(lineage.partition_metrics(decided, rid), out, "store", rid)
         stats = obs.get
-        if cfg.fused:
+        if cfg.fused or existing is not None:
             decided.unpersist()
         ck = lineage.commit_phase(
             out,

@@ -41,6 +41,8 @@ def read_source(spark: SparkSession, source_path: str) -> DataFrame:
 
 
 def with_content_hash(df: DataFrame) -> DataFrame:
+    if "content_hash" in df.columns:  # idempotent: scan may pre-compute it
+        return df
     return df.withColumn("content_hash", content_hash(F.col("bytes"), F.col("caption")))
 
 

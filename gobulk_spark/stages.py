@@ -29,8 +29,12 @@ from .models import langid, perplexity
 from .reference_labeler import decode_batch
 
 # Output schema of the parse stage (DDL string used by mapInPandas).
+# content_hash rides through from the scan projection: the store phase
+# audits it so the incremental marker can key on (image_id, content_hash)
+# — gobulk's re-import contract (tracker/gorm.go:441-449).
 PARSE_OUTPUT_SCHEMA = (
-    "image_id string, source_file string, w int, h int, fmt string, phash long, "
+    "image_id string, source_file string, content_hash string, "
+    "w int, h int, fmt string, phash long, "
     "scrubbed_caption string, decoded_w int, decoded_h int, pix_mean double, "
     "brightness double, pix_entropy double, edge_strength double, "
     "decode_ok boolean, issue_note string, lang string, lang_conf double, "
@@ -47,6 +51,7 @@ def parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         {
             "image_id": pdf["image_id"],
             "source_file": pdf["source_file"],
+            "content_hash": pdf["content_hash"],
             "w": pdf["w"].astype("int32"),
             "h": pdf["h"].astype("int32"),
             "fmt": pdf["fmt"],

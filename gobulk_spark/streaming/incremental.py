@@ -18,8 +18,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import lineage
+from .. import executor, lineage
 from ..config import PipelineConfig
+from ..pipeline import KEPT_COLUMNS
 from ..plan import decision_columns
 from ..sources import scan as src_scan
 from ..stages import PARSE_OUTPUT_SCHEMA, make_parse_stage
@@ -37,19 +38,22 @@ def _process_microbatch(batch: DataFrame, epoch_id: int, cfg: PipelineConfig) ->
     out = cfg.out_dir
     # input_file_name() returns '' (not NULL) inside foreachBatch, so a
     # plain coalesce never falls back — nullif first
-    src = batch.withColumn(
-        "source_file",
-        F.coalesce(F.nullif(F.input_file_name(), F.lit("")), F.lit("stream")),
+    src = src_scan.with_content_hash(
+        batch.withColumn(
+            "source_file",
+            F.coalesce(F.nullif(F.input_file_name(), F.lit("")), F.lit("stream")),
+        )
     )
     # in-batch content dedup (cross-batch dedup = the marker/audit check)
     dups = src_scan.find_duplicates(src, carry=("source_file",))
-    # exclude this epoch's own store audit: a foreachBatch retry of the
-    # same epoch must not be masked by its half-committed outputs
-    marker = lineage.processed_image_ids(
+    # marker on (image_id, content_hash): changed content re-enters as an
+    # update. Exclude this epoch's own store audit: a foreachBatch retry
+    # of the same epoch must not be masked by its half-committed outputs.
+    marker = lineage.processed_keys(
         spark, out, exclude_run_id=rid, exclude_phases=("store",)
     )
     if marker is not None:
-        src = src.join(marker, "image_id", "left_anti")
+        src = src.join(marker, ["image_id", "content_hash"], "left_anti")
     deduped = src_scan.anti_join_ids(src, dups, broadcast=True)
     lineage.write_audit(
         lineage.audit_columns(
@@ -60,6 +64,7 @@ def _process_microbatch(batch: DataFrame, epoch_id: int, cfg: PipelineConfig) ->
             F.lit("dedup_content_hash"),
             F.lit("duplicate"),
             F.lit(None).cast("string"),
+            content_hash_col=F.col("content_hash"),
         ),
         out,
         "scan",
@@ -69,36 +74,19 @@ def _process_microbatch(batch: DataFrame, epoch_id: int, cfg: PipelineConfig) ->
         make_parse_stage(cfg.stop_on_error), schema=PARSE_OUTPUT_SCHEMA
     )
     decided = decision_columns(feats, cfg.thresholds)
-    kept = (
-        decided.where(F.col("keep"))
-        .withColumn("caption", F.col("scrubbed_caption"))
-        .select(
-            "image_id", "source_file", "w", "h", "fmt", "phash",
-            "caption", "lang", "lang_conf", "ppl",
-        )
-    )
-    kept.write.mode("overwrite").partitionBy("lang").parquet(
-        os.path.join(lineage.kept_dir(out), f"run={rid}")
-    )
-    lineage.write_audit(
-        lineage.audit_columns(
-            decided,
-            rid,
-            F.when(F.col("action") == "issue", "parse")
-            .when(F.col("action") == "omit", "plan")
-            .otherwise("execute"),
-            F.col("action"),
-            F.col("drop_reason"),
-            F.col("drop_reason"),
-            F.when(F.col("action") == "issue", "data_parsing").otherwise(
-                F.lit(None).cast("string")
-            ),
-        ),
-        out,
-        "store",
-        rid,
-    )
+    lineage.recover_kept_swaps(spark, out)  # heal before reading kept
+    existing = lineage.prior_kept_ids(spark, out, exclude_run_id=rid)
+    decided = executor.classify_actions(decided, existing)
+    if existing is not None:
+        decided = decided.persist()
+        executor.execute_deletes(spark, out, rid, decided)
+    executor.kept_rows(decided, KEPT_COLUMNS).write.mode("overwrite").partitionBy(
+        "lang"
+    ).parquet(os.path.join(lineage.kept_dir(out), f"run={rid}"))
+    lineage.write_audit(executor.store_audit_columns(decided, rid), out, "store", rid)
     lineage.write_metrics(lineage.partition_metrics(decided, rid), out, "store", rid)
+    if existing is not None:
+        decided.unpersist()
 
 
 def run_streaming_ingest(

@@ -81,7 +81,8 @@ def test_spark_plan_matches_pandas_on_nan(spark):
     rows = []
     for i, (name, caption, overrides, _) in enumerate(CASES):
         r = {
-            "image_id": name, "source_file": "t", "w": BASE["w"], "h": BASE["h"],
+            "image_id": name, "source_file": "t", "content_hash": f"h{i}",
+            "w": BASE["w"], "h": BASE["h"],
             "fmt": "png", "phash": i, "scrubbed_caption": caption,
             "decoded_w": BASE["decoded_w"], "decoded_h": BASE["decoded_h"],
             "pix_mean": 128.0, "brightness": BASE["brightness"],
@@ -94,7 +95,8 @@ def test_spark_plan_matches_pandas_on_nan(spark):
         r.update(overrides)
         rows.append(tuple(r.values()))
     cols = [
-        "image_id", "source_file", "w", "h", "fmt", "phash", "scrubbed_caption",
+        "image_id", "source_file", "content_hash",
+        "w", "h", "fmt", "phash", "scrubbed_caption",
         "decoded_w", "decoded_h", "pix_mean", "brightness", "pix_entropy",
         "edge_strength", "decode_ok", "issue_note", "lang", "lang_conf", "ppl",
         "max_word_freq_ratio", "stopword_density",
