@@ -17,6 +17,8 @@ the 10^12-row path.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -162,24 +164,122 @@ def ivf_ann(
     )
 
 
+def with_banded_lsh_keys(
+    emb: DataFrame,
+    dim: int,
+    n_bands: int,
+    band_planes: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Explode each vector into (band, band_key) rows — b independent
+    random-hyperplane tables of r planes each (AND within a band, OR
+    across bands). Amplified recall at cosine s is 1-(1-p^r)^b with
+    p = 1 - acos(s)/pi, tunable without touching precision's exact
+    cosine filter. One pandas UDF computes ALL band keys per batch
+    (single matmul), then posexplode — never b UDF evaluations.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _keys(vecs: pd.Series) -> pd.Series:
+        planes = _hyperplanes(dim, n_bands * band_planes, seed)
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        signs = (m @ planes.T > 0).reshape(len(m), n_bands, band_planes)
+        weights = (1 << np.arange(band_planes, dtype=np.int64))[None, None, :]
+        keys = (signs * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(keys), index=vecs.index)
+
+    return emb.select(
+        F.col(id_col),
+        F.col("embedding"),
+        F.posexplode(_keys(F.col("embedding"))).alias("band", "band_key"),
+    )
+
+
+def band_sizing(
+    n_rows: int,
+    min_cosine: float,
+    max_bucket_size: int = 64,
+    target_recall: float = 0.9,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """(n_bands, band_planes) hitting ``target_recall`` at the threshold.
+
+    band_planes first: 2^r buckets per band must clear
+    4*n / max_bucket_size, or the hot-bucket guard drops every coarse
+    bucket and recall collapses to ~0 (measured live: fixed r=4 scored
+    recall 0.009 on 2000 vectors — bucket granularity MUST scale with
+    n). Then n_bands from the amplification formula 1-(1-p^r)^b with
+    p = 1 - acos(s)/pi, capped at max_bands to bound join fan-out (the
+    cap only binds for low thresholds, where LSH is inherently weak —
+    true near-dup thresholds >= 0.9 need single-digit bands).
+    """
+    p = 1.0 - math.acos(min_cosine) / math.pi
+    r = max(1, math.ceil(math.log2(max(2.0, 4.0 * n_rows / max_bucket_size))))
+    per_band = p**r
+    if per_band >= 1.0:
+        return 1, r
+    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_band))
+    return min(max_bands, max(1, b)), r
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     dim: int,
     min_cosine: float = 0.95,
-    n_planes: int = 8,
+    n_bands: int | None = None,
+    band_planes: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
+    max_bucket_size: int | None = 64,
+    target_recall: float = 0.9,
 ) -> DataFrame:
-    """Near-duplicate vector pairs: equi-join within LSH buckets, then
-    exact cosine filter — O(sum bucket^2), never n^2."""
-    b = with_lsh_bucket(emb, dim, n_planes, seed, id_col)
-    l = b.select(
-        F.col("bucket"),
+    """Near-duplicate vector pairs: banded LSH equi-join, hot-bucket
+    guard, exact cosine verify — O(sum bucket^2) per band, never n^2.
+
+    band_planes=0 degenerates to the exact all-pairs baseline (single
+    constant-key band — ONE reducer, oracle use only, never production).
+    Over-full buckets (> max_bucket_size members) are dropped before the
+    self-join, like every other near-dup operator here: one dense bucket
+    is non-discriminative and quadratic (dedup.py minhash guard,
+    text.py simhash guard). Candidates surfacing in several bands are
+    distinct-ed before the threshold filter, so the output is a set.
+
+    Bands/planes default to band_sizing() from the table's row count —
+    pass both explicitly to skip the count job (e.g. when the caller
+    already knows n, or tuned parameters for a known corpus).
+    """
+    if band_planes is None or (band_planes != 0 and n_bands is None):
+        guard = max_bucket_size if max_bucket_size is not None else 64
+        n_bands, band_planes = band_sizing(
+            emb.count(), min_cosine, guard, target_recall
+        )
+    if band_planes == 0:
+        banded = emb.select(
+            F.col(id_col),
+            F.col("embedding"),
+            F.lit(0).alias("band"),
+            F.lit(0).alias("band_key"),
+        )
+    else:
+        banded = with_banded_lsh_keys(emb, dim, n_bands, band_planes, seed, id_col)
+        if max_bucket_size is not None:
+            hot = (
+                banded.groupBy("band", "band_key")
+                .agg(F.count("*").alias("bs"))
+                .where(F.col("bs") > max_bucket_size)
+                .select("band", "band_key")
+            )
+            banded = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    l = banded.select(
+        "band",
+        "band_key",
         F.col(id_col).alias("id_a"),
         F.col("embedding").alias("emb_a"),
     )
-    r = b.select(
-        F.col("bucket"),
+    r = banded.select(
+        "band",
+        "band_key",
         F.col(id_col).alias("id_b"),
         F.col("embedding").alias("emb_b"),
     )
@@ -197,9 +297,9 @@ def embedding_near_dup_pairs(
         )
 
     return (
-        l.join(r, ["bucket"])
+        l.join(r, ["band", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot / (_norm("emb_a") * _norm("emb_b")))
+        .select("id_a", "id_b", (dot / (_norm("emb_a") * _norm("emb_b"))).alias("cosine"))
+        .distinct()
         .where(F.col("cosine") >= min_cosine)
-        .select("id_a", "id_b", "cosine")
     )

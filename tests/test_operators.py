@@ -81,3 +81,57 @@ def test_lsh_ann_subset_of_bucket(spark):
     got = similarity.lsh_bucket_ann(emb, query, dim=8, k=5, n_planes=4).toPandas()
     assert 5 in set(got["vec_id"])  # the query vector itself is in its bucket
     assert got["cosine"].iloc[0] >= got["cosine"].iloc[-1]
+
+
+def test_banded_near_dup_recall_vs_exact(spark):
+    """Recall >= 0.9 at cosine 0.6 vs the exact all-pairs baseline on
+    the driver embeddings (VERDICT r01: the operator must not silently
+    degenerate to zero candidates)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            emb, dim, min_cosine=0.4, band_planes=0
+        ).collect()
+    }
+    assert exact, "precondition: the corpus has true pairs at cosine 0.4"
+    banded = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            emb, dim, min_cosine=0.4, max_bucket_size=64  # auto-sized bands
+        ).collect()
+    }
+    recall = len(banded & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} over {len(exact)} true pairs"
+    assert banded <= exact  # exact cosine verify: no false positives
+
+
+def test_band_sizing_scales_with_n():
+    """Plane count must grow with n (guard-survival) and band count with
+    the amplification needed at the threshold (found live: fixed r=4 on
+    2000 vectors -> every bucket over the guard -> recall 0.009)."""
+    b500, r500 = similarity.band_sizing(500, 0.4)
+    b2k, r2k = similarity.band_sizing(2000, 0.4)
+    assert r2k > r500  # finer buckets at larger n
+    assert b2k > b500  # more bands to compensate the lower per-band hit
+    # true near-dup thresholds stay cheap even at scale: ~20 bands at
+    # 10M vectors/0.95 (p=0.899, r=20 -> p^r=0.12), vs the 64-band cap
+    # that low thresholds hit
+    b_hi, r_hi = similarity.band_sizing(10_000_000, 0.95)
+    assert b_hi <= 24 and r_hi >= 16
+
+
+def test_banded_near_dup_hot_bucket_guard(spark):
+    """A degenerate corpus (every vector identical) lands in one bucket
+    per band; the guard must drop those buckets instead of exploding
+    into an n^2 join."""
+    vec = [1.0] + [0.0] * 15
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": [vec] * 300})
+    emb = spark.createDataFrame(pdf)
+    out = similarity.embedding_near_dup_pairs(
+        emb, 16, min_cosine=0.9, n_bands=4, band_planes=2, max_bucket_size=64
+    )
+    assert out.count() == 0  # guarded away, not 300*299/2 pairs
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan  # the guard is a broadcast left-anti join
