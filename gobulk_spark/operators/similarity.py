@@ -111,26 +111,77 @@ def lsh_bucket_ann(
 
 
 def _ivf_centroids(dim: int, n_cells: int, seed: int) -> np.ndarray:
-    """Deterministic coarse quantizer: unit-norm random centroids.
+    """Training-free fallback quantizer: unit-norm random centroids.
 
-    A trained k-means codebook would come from a sample pass; for a
-    seeded, training-free engine the random codebook gives the same
-    partition-pruning structure (cells are Voronoi regions).
+    Same partition-pruning structure as a trained codebook (cells are
+    Voronoi regions), but cell occupancy tracks no data structure —
+    recall sags on clustered embeddings. Prefer fit_ivf_centroids.
     """
     c = np.random.default_rng(seed).standard_normal((n_cells, dim))
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def fit_ivf_centroids(
+    emb: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    seed: int = 7,
+    sample_size: int = 8192,
+    n_iter: int = 12,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Spherical k-means codebook from a seeded sample (the training
+    pass gobulk-era IVF needs for non-degenerate cell occupancy).
+
+    The sample is the top-``sample_size`` rows by xxhash64(id) — a
+    deterministic uniform draw that Spark executes as per-partition
+    top-k + driver merge (TakeOrderedAndProject), no full sort, no
+    table count. The fit collects a BOUNDED set to the driver
+    regardless of table size — at 10^12 rows the fit cost is constant;
+    only the assignment UDF scales. Assignment is argmax dot with unit
+    centroids = cosine k-means; empty cells are reseeded from the
+    worst-served point so all n_cells stay live."""
+    rows = (
+        emb.select(F.col("embedding"), F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample_size)
+        .collect()
+    )
+    rng = np.random.default_rng(seed)
+    m = np.stack([r[0] for r in rows]).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    m = m / np.maximum(norms, 1e-12)
+    cents = m[rng.choice(len(m), n_cells, replace=len(m) < n_cells)].copy()
+    for _ in range(n_iter):
+        sims = m @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_cells):
+            members = m[assign == c]
+            if len(members) == 0:  # dead cell: reseed from worst-served point
+                cents[c] = m[np.argmin(np.max(sims, axis=1))]
+            else:
+                mean = members.mean(axis=0)
+                cents[c] = mean / max(np.linalg.norm(mean), 1e-12)
+    return cents
+
+
 def with_ivf_cell(
-    emb: DataFrame, dim: int, n_cells: int = 16, seed: int = 7, id_col: str = "vec_id"
+    emb: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """Append the IVF cell id (argmax centroid dot product)."""
+    """Append the IVF cell id (argmax centroid dot product). A trained
+    codebook (fit_ivf_centroids) ships to workers inside the UDF
+    closure — n_cells x dim floats, broadcast-sized."""
+    cents_arr = centroids if centroids is not None else _ivf_centroids(dim, n_cells, seed)
 
     @F.pandas_udf(T.IntegerType())
     def _cell(vecs: pd.Series) -> pd.Series:
-        cents = _ivf_centroids(dim, n_cells, seed)
         m = np.stack(vecs.to_numpy()).astype(np.float64)
-        return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32), index=vecs.index)
+        return pd.Series(np.argmax(m @ cents_arr.T, axis=1).astype(np.int32), index=vecs.index)
 
     return emb.withColumn("ivf_cell", _cell(F.col("embedding")))
 
@@ -144,18 +195,30 @@ def ivf_ann(
     n_probe: int = 4,
     seed: int = 7,
     id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+    train: bool = True,
 ) -> DataFrame:
     """IVF approximate nearest neighbours: score only vectors whose cell
     is among the query's n_probe closest centroids.
+
+    ``train=True`` (default) fits the codebook on a bounded sample —
+    measurably better recall than the random codebook on clustered
+    embeddings; pass centroids to reuse a fit across queries, or
+    train=False for the training-free structure.
 
     Scale path: write the table partitioned by ivf_cell and the probe
     filter becomes partition pruning — the scan reads n_probe/n_cells
     of the data before any compute.
     """
-    cents = _ivf_centroids(dim, n_cells, seed)
-    scores = cents @ np.asarray(query, dtype=np.float64)
+    if centroids is None:
+        centroids = (
+            fit_ivf_centroids(emb, dim, n_cells, seed)
+            if train
+            else _ivf_centroids(dim, n_cells, seed)
+        )
+    scores = centroids @ np.asarray(query, dtype=np.float64)
     probes = [int(i) for i in np.argsort(-scores)[:n_probe]]
-    celled = with_ivf_cell(emb, dim, n_cells, seed, id_col)
+    celled = with_ivf_cell(emb, dim, n_cells, seed, id_col, centroids=centroids)
     return (
         celled.where(F.col("ivf_cell").isin(probes))
         .select(F.col(id_col), cosine_to(query).alias("cosine"))

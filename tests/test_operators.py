@@ -135,3 +135,40 @@ def test_banded_near_dup_hot_bucket_guard(spark):
     assert out.count() == 0  # guarded away, not 300*299/2 pairs
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan  # the guard is a broadcast left-anti join
+
+
+def test_ivf_trained_codebook_beats_random(spark):
+    """fit_ivf_centroids (sampled spherical k-means) must beat the
+    training-free random codebook on the driver embeddings — both in
+    top-10 recall (averaged over 5 queries) and in cell-occupancy
+    balance. Fully seeded, so the comparison is deterministic."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    cents = similarity.fit_ivf_centroids(emb, dim, n_cells=16, seed=7)
+    t_hits = r_hits = 0
+    qids = [1, 101, 303, 707, 1111]
+    for qid in qids:
+        q = [float(x) for x in emb.where(F.col("vec_id") == qid).select("embedding").first()[0]]
+        o = emb.where(F.col("vec_id") != qid)
+        exact = {r.vec_id for r in similarity.brute_force_topk(o, q, k=10).collect()}
+        trained = {
+            r.vec_id
+            for r in similarity.ivf_ann(
+                o, q, dim, k=10, n_cells=16, n_probe=4, centroids=cents
+            ).collect()
+        }
+        rand = {
+            r.vec_id
+            for r in similarity.ivf_ann(
+                o, q, dim, k=10, n_cells=16, n_probe=4, train=False
+            ).collect()
+        }
+        t_hits += len(trained & exact)
+        r_hits += len(rand & exact)
+    assert t_hits >= r_hits, f"trained {t_hits} < random {r_hits} (of {10*len(qids)})"
+    assert t_hits >= 0.5 * 10 * len(qids)
+    # trained Voronoi cells track the data: tighter occupancy spread
+    occ_t = similarity.with_ivf_cell(emb, dim, 16, centroids=cents).groupBy("ivf_cell").count().toPandas()["count"]
+    occ_r = similarity.with_ivf_cell(emb, dim, 16, seed=7).groupBy("ivf_cell").count().toPandas()["count"]
+    assert len(occ_t) == 16  # no dead cells
+    assert occ_t.max() - occ_t.min() < occ_r.max() - occ_r.min()
