@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import lineage
+from . import lineage  # noqa: F401  (audit projection below)
 
 #: action -> execution order (gobulk executor.go:96-113)
 EXECUTION_ORDER = ("delete", "update", "create", "omit")
@@ -61,14 +61,13 @@ def classify_actions(decided: DataFrame, existing_ids: DataFrame | None) -> Data
     )
 
 
-def execute_deletes(
-    spark: SparkSession, out_dir: str, run_id: str, decided: DataFrame
-) -> list[str]:
-    """The D step: remove prior kept rows for every update/delete id."""
+def execute_deletes(spark: SparkSession, sink, run_id: str, decided: DataFrame) -> None:
+    """The D step: remove prior kept rows for every update/delete id
+    through the sink's Delete verb (sinks.KeptSink)."""
     affected = decided.where(F.col("action").isin("update", "delete")).select(
         "image_id"
     )
-    return lineage.delete_keys_from_prior_runs(spark, out_dir, run_id, affected)
+    sink.delete(spark, run_id, affected)
 
 
 def kept_rows(decided: DataFrame, columns: tuple[str, ...]) -> DataFrame:

@@ -12,10 +12,13 @@ Parse stages; JSON parsing appears in its test formats
 - xml-style entity expansion: expand_entities (F2's regex-rewrite core);
 - resize_rgb / thumbnail_batch: REAL nearest-neighbor image resize
   (numpy) over decoded pixels — the image feature-extraction path;
-- decode_audio_batch / sample_video_frames: STUBS. No audio/video codec
-  library exists in this environment; the Spark-side plumbing (schemas,
-  batch signatures) is real and tested, the codec call raises
-  NotImplementedError with the contract documented.
+- decode_wav / decode_audio_batch: REAL PCM WAV decode (stdlib wave +
+  numpy, 8/16/32-bit, multi-channel downmix) with rms/peak/duration
+  features; compressed codecs (mp3/ogg/flac) route to the
+  decode_compressed_audio STUB as issue rows — no codec library exists
+  in this environment;
+- sample_video_frames: STUB (no video codec library); the Spark-side
+  plumbing (schema, batch signature) is real and tested.
 """
 
 from __future__ import annotations
@@ -63,9 +66,15 @@ def parse_json_captions(col: Column) -> Column:
     return F.from_json(col, JSON_CAPTION_SCHEMA)
 
 
-# ----------------------------------------------- XML-ish entity pass (F2)
+# ------------------------------------------------- XML decode (F2, full)
 
 _ENTITY_RE = re.compile(r"&([A-Za-z][A-Za-z0-9._-]*);")
+# mirrors gobulk's internalEntitiesRegex (utils/parse.go:88):
+# <!ENTITY name ... "value" ...>
+_INTERNAL_ENTITY_RE = re.compile(r'<!ENTITY (\S*)[^"]*"(.*)".*>')
+_XML_DECL_ENCODING_RE = re.compile(
+    rb'<\?xml[^>]*encoding\s*=\s*["\']([A-Za-z0-9._-]+)["\']'
+)
 
 
 def expand_entities(texts: pd.Series, entities: dict[str, str]) -> pd.Series:
@@ -74,6 +83,101 @@ def expand_entities(texts: pd.Series, entities: dict[str, str]) -> pd.Series:
     return texts.str.replace(
         _ENTITY_RE, lambda m: entities.get(m.group(1), m.group(0)), regex=True
     )
+
+
+def merge_entities(*entity_lists: dict[str, str] | None) -> dict[str, str]:
+    """Merge entity maps, later maps winning on conflict — gobulk
+    MergeEntities (utils/parse.go:41-56)."""
+    out: dict[str, str] = {}
+    for lst in entity_lists:
+        if lst:
+            out.update(lst)
+    return out
+
+
+def internal_entities(text: str) -> dict[str, str]:
+    """DOCTYPE-declared entities, gobulk getInternalEntities
+    (utils/parse.go:69-78) — same regex, same capture semantics."""
+    return {m.group(1): m.group(2) for m in _INTERNAL_ENTITY_RE.finditer(text)}
+
+
+def decode_xml_text(
+    blob: bytes,
+    external_entities: dict[str, str] | None = None,
+    strict: bool = True,
+) -> str:
+    """Charset-aware decode + entity expansion: the pre-parse pass of
+    gobulk DecodeXML (utils/parse.go:13-19 + WithCharsetReader).
+
+    Charset comes from the XML declaration (default utf-8). Internal
+    DOCTYPE entities override external ones (MergeEntities order).
+    strict=False replaces undecodable bytes instead of raising —
+    Go's Strict=false lenient mode.
+    """
+    # BOM first: a UTF-16/32 document's OWN encoding declaration is not
+    # ASCII-readable, so the regex below can never see it (found live
+    # on a utf-16 file). Python's utf-16/utf-8-sig codecs strip the BOM.
+    if blob[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
+        encoding = "utf-32"
+    elif blob[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        encoding = "utf-16"
+    elif blob[:3] == b"\xef\xbb\xbf":
+        encoding = "utf-8-sig"
+    else:
+        m = _XML_DECL_ENCODING_RE.search(blob[:256])
+        encoding = m.group(1).decode("ascii") if m else "utf-8"
+    text = blob.decode(encoding, errors="strict" if strict else "replace")
+    ents = merge_entities(external_entities, internal_entities(text))
+    return _ENTITY_RE.sub(lambda mm: ents.get(mm.group(1), mm.group(0)), text)
+
+
+XML_DOC_SCHEMA = (
+    "doc_id string, root string, fields map<string,string>, "
+    "decode_ok boolean, issue_note string"
+)
+
+
+def decode_xml_batch(
+    pdf: pd.DataFrame,
+    external_entities: dict[str, str] | None = None,
+    strict: bool = True,
+) -> pd.DataFrame:
+    """One Arrow batch (doc_id, bytes) -> XML_DOC_SCHEMA rows.
+
+    Full DecodeXML analogue: charset, entity merge/replace, then an
+    ElementTree parse flattening root children into a map column. In
+    strict mode any malformed document (bad charset, bad markup,
+    UNKNOWN entity surviving expansion) becomes decode_ok=False with
+    the parser's message; lenient mode additionally replaces
+    undecodable bytes and strips unknown entities before the parse.
+    Per-row failures route as issue rows, never task failures.
+    """
+    import xml.etree.ElementTree as ET
+
+    rows = []
+    for doc_id, blob in zip(pdf["doc_id"], pdf["bytes"]):
+        row = {"doc_id": doc_id, "root": None, "fields": None,
+               "decode_ok": False, "issue_note": None}
+        try:
+            if blob is None:
+                row["issue_note"] = "null payload"
+            else:
+                text = decode_xml_text(blob, external_entities, strict)
+                if not strict:  # lenient: unknown entities stripped pre-parse
+                    text = _ENTITY_RE.sub("", text)
+                # charset already applied above; ET refuses unicode input
+                # that still carries an encoding declaration
+                text = re.sub(r"^\s*<\?xml[^>]*\?>", "", text, count=1)
+                node = ET.fromstring(text)
+                row.update(
+                    root=node.tag,
+                    fields={c.tag: (c.text or "") for c in node},
+                    decode_ok=True,
+                )
+        except (ET.ParseError, UnicodeDecodeError, LookupError, ValueError) as e:
+            row["issue_note"] = f"xml decode failed: {e}"
+        rows.append(row)
+    return pd.DataFrame(rows)
 
 
 # --------------------------------------------------- image resize (real)
@@ -123,30 +227,111 @@ def thumbnail_batch(pdf: pd.DataFrame, max_side: int = 32) -> pd.DataFrame:
     )
 
 
-# ------------------------------------------- audio / video (stubbed codecs)
+# ----------------------------------- audio: REAL for PCM WAV, stub beyond
 
 AUDIO_FEATURES_SCHEMA = (
-    "clip_id string, sample_rate int, n_samples long, duration_s double, "
-    "rms double, peak double"
+    "clip_id string, sample_rate int, n_channels int, n_samples long, "
+    "duration_s double, rms double, peak double, decode_ok boolean, "
+    "issue_note string"
 )
 
 VIDEO_FRAMES_SCHEMA = (
     "clip_id string, frame_idx int, ts_ms long, frame_png binary, w int, h int"
 )
 
+_AUDIO_MAGIC = (
+    (b"ID3", "mp3"),
+    (b"\xff\xfb", "mp3"),
+    (b"\xff\xf3", "mp3"),
+    (b"OggS", "ogg"),
+    (b"fLaC", "flac"),
+)
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """PCM WAV -> (sample_rate, n_channels, float32 mono waveform in
+    [-1, 1]). stdlib ``wave`` + numpy — no external codec. 8/16/32-bit
+    integer PCM; raises wave.Error / ValueError on anything else."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        rate, nch, width, nframes = (
+            w.getframerate(),
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getnframes(),
+        )
+        raw = w.readframes(nframes)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return rate, nch, samples
+
 
 def decode_audio_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """STUB — no audio codec library (ffmpeg/soundfile) in this image.
+    """One Arrow batch (clip_id, bytes) -> AUDIO_FEATURES_SCHEMA rows.
 
-    Contract when a codec is available: input batch columns
-    (clip_id string, bytes binary); decode each blob to PCM float32,
-    return one row per clip with AUDIO_FEATURES_SCHEMA columns (rms/peak
-    over the waveform, vectorized numpy). The mapInPandas wiring,
-    partitioning and schema are exercised by tests against this stub.
+    REAL for PCM WAV (decode_wav); recognizably compressed payloads
+    (mp3/ogg/flac magic) are routed as decode_ok=False with the codec
+    named in issue_note — the decode seam for a real codec library is
+    decode_compressed_audio below. Per-row failures never kill the
+    task: they become issue rows, gobulk's error policy
+    (format.go:132-138).
     """
+    import wave
+
+    rows = []
+    for clip_id, blob in zip(pdf["clip_id"], pdf["bytes"]):
+        row = {
+            "clip_id": clip_id, "sample_rate": None, "n_channels": None,
+            "n_samples": None, "duration_s": None, "rms": None, "peak": None,
+            "decode_ok": False, "issue_note": None,
+        }
+        try:
+            if blob is None:
+                row["issue_note"] = "null payload"
+            elif any(blob[: len(m)] == m for m, _ in _AUDIO_MAGIC):
+                codec = next(c for m, c in _AUDIO_MAGIC if blob[: len(m)] == m)
+                decode_compressed_audio(blob, codec)  # raises NotImplementedError
+            else:
+                rate, nch, samples = decode_wav(blob)
+                row.update(
+                    sample_rate=rate,
+                    n_channels=nch,
+                    n_samples=len(samples),
+                    duration_s=len(samples) / rate if rate else 0.0,
+                    rms=float(np.sqrt(np.mean(np.square(samples)))) if len(samples) else 0.0,
+                    peak=float(np.max(np.abs(samples))) if len(samples) else 0.0,
+                    decode_ok=True,
+                )
+        except NotImplementedError as e:
+            row["issue_note"] = str(e)
+        except (wave.Error, ValueError, EOFError) as e:
+            row["issue_note"] = f"wav decode failed: {e}"
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    out["sample_rate"] = out["sample_rate"].astype("Int32")
+    out["n_channels"] = out["n_channels"].astype("Int32")
+    out["n_samples"] = out["n_samples"].astype("Int64")
+    return out
+
+
+def decode_compressed_audio(blob: bytes, codec: str) -> np.ndarray:
+    """STUB — no compressed-audio codec (ffmpeg/soundfile) in this
+    image. Contract: decode ``blob`` to a float32 mono waveform in
+    [-1, 1] and return it; decode_audio_batch then computes the same
+    AUDIO_FEATURES_SCHEMA features it computes for WAV."""
     raise NotImplementedError(
-        "audio decode requires a codec library not present in this environment; "
-        "plug a decoder into decode_audio_batch keeping AUDIO_FEATURES_SCHEMA"
+        f"codec_unavailable:{codec} — plug a decoder into "
+        "decode_compressed_audio returning float32 mono PCM"
     )
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from . import executor, lineage
 from .config import PipelineConfig
 from .plan import decision_columns
+from .sinks import KeptSink, ParquetKeptSink
 from .sources import scan as src_scan
 from .stages import PARSE_OUTPUT_SCHEMA, make_parse_stage
 
@@ -61,10 +62,18 @@ def _salted_repartition(df: DataFrame, cfg: PipelineConfig, n_partitions: int) -
     return df.repartition(n_partitions, bucket, salt)
 
 
-def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
-    """Execute (or resume) one run. Returns a summary dict."""
+def run_pipeline(
+    spark: SparkSession, cfg: PipelineConfig, sink: KeptSink | None = None
+) -> dict:
+    """Execute (or resume) one run. Returns a summary dict.
+
+    ``sink`` is the kept-store backend (gobulk Output seam,
+    output.go:12-16); default is the parquet-directory sink. Audit,
+    metrics and checkpoints stay in lineage — they are the Tracker,
+    not the Output."""
     t_start = time.time()
     out, rid = cfg.out_dir, cfg.run_id
+    sink = sink if sink is not None else ParquetKeptSink(out)
     summary: dict = {"run_id": rid, "phases": {}, "config": {k: str(v) for k, v in asdict(cfg).items()}}
 
     # ---------------- phase: scan (discover, marker, dedup) ----------------
@@ -158,14 +167,14 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         t0 = time.time()
         # heal half-finished kept swaps from a crashed earlier attempt
         # BEFORE anything reads the kept store
-        lineage.recover_kept_swaps(spark, out)
+        sink.recover(spark)
         feats = _parse_frame() if cfg.fused else spark.read.parquet(feats_path)
         decided = decision_columns(feats, cfg.thresholds)
         # existence check refines create/omit into update/delete for ids
         # already in the kept store (gobulk Update/Delete ops,
         # executor.go:96-113; format emits Update when the row exists,
         # runner_test.go:638-702)
-        existing = lineage.prior_kept_ids(spark, out, exclude_run_id=rid)
+        existing = sink.existing_ids(spark, exclude_run_id=rid)
         decided = executor.classify_actions(decided, existing)
         if cfg.fused or existing is not None:
             # multiple actions consume the frame (delete step + three
@@ -179,13 +188,11 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         # --- D: remove prior kept rows of update/delete ids (staged
         #        rewrite + atomic swap; idempotent under retry) ---------
         if existing is not None:
-            executor.execute_deletes(spark, out, rid, decided)
-        # --- U + C: this run's kept rows land in run=rid ---------------
-        # per-run subdir + overwrite = idempotent under store-phase retry
-        # even on incremental runs (run 2's retry never touches run 1)
-        executor.kept_rows(decided, KEPT_COLUMNS).write.mode("overwrite").partitionBy(
-            "lang"
-        ).parquet(os.path.join(lineage.kept_dir(out), f"run={rid}"))
+            executor.execute_deletes(spark, sink, rid, decided)
+        # --- U + C: this run's kept rows land in the sink's run scope --
+        # per-run overwrite = idempotent under store-phase retry even on
+        # incremental runs (run 2's retry never touches run 1)
+        sink.write(executor.kept_rows(decided, KEPT_COLUMNS), rid)
         # --- O: omits/issues reach only the audit + metrics tables -----
         audit = executor.store_audit_columns(decided, rid)
         # run totals ride the audit write as an observation — no read-back

@@ -22,6 +22,7 @@ from .. import executor, lineage
 from ..config import PipelineConfig
 from ..pipeline import KEPT_COLUMNS
 from ..plan import decision_columns
+from ..sinks import KeptSink, ParquetKeptSink
 from ..sources import scan as src_scan
 from ..stages import PARSE_OUTPUT_SCHEMA, make_parse_stage
 
@@ -31,11 +32,14 @@ SOURCE_DDL = (
 )
 
 
-def _process_microbatch(batch: DataFrame, epoch_id: int, cfg: PipelineConfig) -> None:
+def _process_microbatch(
+    batch: DataFrame, epoch_id: int, cfg: PipelineConfig, sink: KeptSink | None = None
+) -> None:
     """One micro-batch through the same scan→parse→store semantics."""
     spark = batch.sparkSession
     rid = f"{cfg.run_id}-e{epoch_id}"
     out = cfg.out_dir
+    sink = sink if sink is not None else ParquetKeptSink(out)
     # input_file_name() returns '' (not NULL) inside foreachBatch, so a
     # plain coalesce never falls back — nullif first
     src = src_scan.with_content_hash(
@@ -74,15 +78,13 @@ def _process_microbatch(batch: DataFrame, epoch_id: int, cfg: PipelineConfig) ->
         make_parse_stage(cfg.stop_on_error), schema=PARSE_OUTPUT_SCHEMA
     )
     decided = decision_columns(feats, cfg.thresholds)
-    lineage.recover_kept_swaps(spark, out)  # heal before reading kept
-    existing = lineage.prior_kept_ids(spark, out, exclude_run_id=rid)
+    sink.recover(spark)  # heal before reading kept
+    existing = sink.existing_ids(spark, exclude_run_id=rid)
     decided = executor.classify_actions(decided, existing)
     if existing is not None:
         decided = decided.persist()
-        executor.execute_deletes(spark, out, rid, decided)
-    executor.kept_rows(decided, KEPT_COLUMNS).write.mode("overwrite").partitionBy(
-        "lang"
-    ).parquet(os.path.join(lineage.kept_dir(out), f"run={rid}"))
+        executor.execute_deletes(spark, sink, rid, decided)
+    sink.write(executor.kept_rows(decided, KEPT_COLUMNS), rid)
     lineage.write_audit(executor.store_audit_columns(decided, rid), out, "store", rid)
     lineage.write_metrics(lineage.partition_metrics(decided, rid), out, "store", rid)
     if existing is not None:
@@ -94,6 +96,7 @@ def run_streaming_ingest(
     cfg: PipelineConfig,
     source_dir: str,
     max_files_per_trigger: int | None = None,
+    sink: KeptSink | None = None,
 ) -> None:
     """Drain all currently-available source files, then stop.
 
@@ -111,7 +114,7 @@ def run_streaming_ingest(
     stream = reader.load()
     q = (
         stream.writeStream.foreachBatch(
-            lambda df, eid: _process_microbatch(df, eid, cfg)
+            lambda df, eid: _process_microbatch(df, eid, cfg, sink)
         )
         .option("checkpointLocation", os.path.join(cfg.out_dir, "_stream_checkpoint"))
         .trigger(availableNow=True)

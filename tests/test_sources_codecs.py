@@ -92,19 +92,137 @@ def test_resize_rgb_and_thumbnails(spark):
     assert out[1].thumb is None and out[1].thumb_w == -1
 
 
-def test_multimodal_stubs_raise_with_contract(spark):
+def test_video_stub_raises_with_contract(spark):
     pdf = pd.DataFrame({"clip_id": ["c1"], "bytes": [b"\x00\x01"]})
-    with pytest.raises(NotImplementedError, match="audio decode"):
-        codecs.decode_audio_batch(pdf)
     with pytest.raises(NotImplementedError, match="video decode"):
         codecs.sample_video_frames(pdf)
-    # the Spark-side wiring is real: schema + mapInPandas signature work,
-    # and a task-level failure surfaces as a job error (issue routing for
-    # codec stages follows stages.make_parse_stage once a codec exists)
-    sdf = spark.createDataFrame(pdf)
-    stream = sdf.mapInPandas(
-        lambda it: (codecs.decode_audio_batch(p) for p in it),
-        schema=codecs.AUDIO_FEATURES_SCHEMA,
+    with pytest.raises(NotImplementedError, match="codec_unavailable:mp3"):
+        codecs.decode_compressed_audio(b"ID3abc", "mp3")
+
+
+def _wav_bytes(samples: np.ndarray, rate: int, nch: int, width: int) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 2:
+            raw = (samples * 32767).astype("<i2").tobytes()
+        elif width == 1:
+            raw = (samples * 127 + 128).astype(np.uint8).tobytes()
+        else:
+            raw = (samples * 2147483647).astype("<i4").tobytes()
+        w.writeframes(raw)
+    return buf.getvalue()
+
+
+def test_wav_decode_features_via_spark(spark):
+    """Real PCM WAV decode through the mapInPandas surface: rms/peak of
+    a sine match closed form; 8-bit mono, stereo downmix, compressed
+    and corrupt payloads become issue rows (never task failures)."""
+    rate, dur = 8000, 0.5
+    t = np.arange(int(rate * dur)) / rate
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    stereo = np.column_stack([sine, sine]).ravel()
+    pdf = pd.DataFrame(
+        {
+            "clip_id": ["sine16", "silence8", "stereo16", "mp3ish", "corrupt"],
+            "bytes": [
+                _wav_bytes(sine, rate, 1, 2),
+                _wav_bytes(np.zeros(100), rate, 1, 1),
+                _wav_bytes(stereo, rate, 2, 2),
+                b"ID3" + b"\x00" * 64,
+                b"RIFFgarbage",
+            ],
+        }
     )
-    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
-        stream.collect()
+    out = (
+        spark.createDataFrame(pdf)
+        .mapInPandas(
+            lambda it: (codecs.decode_audio_batch(p) for p in it),
+            schema=codecs.AUDIO_FEATURES_SCHEMA,
+        )
+        .toPandas()
+        .set_index("clip_id")
+    )
+    s = out.loc["sine16"]
+    assert s.decode_ok and s.sample_rate == rate and s.n_samples == len(sine)
+    assert abs(s.rms - 0.5 / np.sqrt(2)) < 1e-3  # sine rms = amp/sqrt(2)
+    assert abs(s.peak - 0.5) < 1e-3
+    assert abs(s.duration_s - dur) < 1e-6
+    z = out.loc["silence8"]
+    assert z.decode_ok and z.rms == 0.0 and z.peak == 0.0
+    st = out.loc["stereo16"]
+    assert st.decode_ok and st.n_channels == 2
+    assert abs(st.rms - 0.5 / np.sqrt(2)) < 1e-3  # identical channels downmix
+    assert not out.loc["mp3ish"].decode_ok
+    assert "codec_unavailable:mp3" in out.loc["mp3ish"].issue_note
+    assert not out.loc["corrupt"].decode_ok
+    assert "wav decode failed" in out.loc["corrupt"].issue_note
+
+
+def test_decode_xml_entity_merge_and_charset(spark):
+    """Full DecodeXML parity (utils/parse.go:13-78): internal DOCTYPE
+    entities override external (MergeEntities order), charset honored
+    from the declaration, fields flattened through the Spark surface."""
+    internal = (
+        b'<?xml version="1.0"?><!DOCTYPE d [<!ENTITY who "World">]>'
+        b"<doc><greet>Hello &who;</greet><n>&num;</n></doc>"
+    )
+    latin = '<?xml version="1.0" encoding="latin-1"?><doc><name>café</name></doc>'.encode("latin-1")
+    # a utf-16 document's OWN declaration is not ASCII-readable: the
+    # charset must come from the BOM (found live during verification)
+    utf16 = '<?xml version="1.0" encoding="utf-16"?><doc><name>héllo</name></doc>'.encode("utf-16")
+    pdf = pd.DataFrame(
+        {"doc_id": ["ents", "latin", "utf16"], "bytes": [internal, latin, utf16]}
+    )
+    ext = {"who": "External", "num": "42"}
+    out = (
+        spark.createDataFrame(pdf)
+        .mapInPandas(
+            lambda it: (codecs.decode_xml_batch(p, ext) for p in it),
+            schema=codecs.XML_DOC_SCHEMA,
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    e = out.loc["ents"]
+    assert e.decode_ok and e.root == "doc"
+    assert e.fields["greet"] == "Hello World"  # internal beats external
+    assert e.fields["n"] == "42"  # external fills the gap
+    l = out.loc["latin"]
+    assert l.decode_ok and l.fields["name"] == "café"
+    u = out.loc["utf16"]
+    assert u.decode_ok and u.fields["name"] == "héllo"
+
+
+def test_decode_xml_strict_vs_lenient():
+    unknown = b"<doc><x>&nosuch;</x></doc>"
+    malformed = b"<doc><unclosed></doc>"
+    bad_charset = '<?xml version="1.0" encoding="latin-1"?><doc><x>ok</x></doc>'.encode("latin-1")
+    pdf = pd.DataFrame(
+        {"doc_id": ["unk", "mal"], "bytes": [unknown, malformed]}
+    )
+    strict = codecs.decode_xml_batch(pdf, strict=True).set_index("doc_id")
+    assert not strict.loc["unk"].decode_ok  # unknown entity = error (Go Strict)
+    assert not strict.loc["mal"].decode_ok
+    lenient = codecs.decode_xml_batch(pdf, strict=False).set_index("doc_id")
+    assert lenient.loc["unk"].decode_ok  # unknown entity stripped
+    assert lenient.loc["unk"].fields["x"] == ""
+    assert not lenient.loc["mal"].decode_ok  # markup errors stay errors
+    # strict decode of a undecodable-in-utf8 byte stream only works via
+    # the declared charset (WithCharsetReader analogue)
+    one = codecs.decode_xml_batch(
+        pd.DataFrame({"doc_id": ["c"], "bytes": [bad_charset]}), strict=True
+    )
+    assert one.iloc[0].decode_ok
+
+
+def test_merge_entities_order():
+    assert codecs.merge_entities({"a": "1", "b": "2"}, {"b": "3"}, None) == {
+        "a": "1",
+        "b": "3",
+    }
