@@ -439,6 +439,45 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf*ln(N/df)."""
+    from gobulk_spark.operators.text import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+def q_asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each purchase gets the latest preceding
+    page view by the same user (operators/asof.py — union + one window
+    pass, no join; oracle is DuckDB's native ASOF JOIN). The view side
+    is deduped per (user, ts) by max event_id so ties are well-defined
+    on both engines."""
+    from gobulk_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join(
+        purchases, views, by="user_id", ts_col="ts",
+        right_cols=("event_id", "ts"), prefix="view_", tie_break="event_id",
+    )
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch("ts").alias("purchase_epoch"),
+        F.col("view_event_id"),
+        (epoch("ts") - epoch("view_ts")).alias("gap_s"),
+    )
+
+
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type."""
     e = _t(spark, sf_dir, "events")
@@ -484,6 +523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_rollup": q_pricing_rollup,
         "event_type_pivot": q_event_type_pivot,
         "value_quantiles": q_value_quantiles,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "asof_join_purchase_view": q_asof_join_purchase_view,
         "embedding_exact_near_dups": q_embedding_exact_near_dups,
         # rows-only (vectorized Arrow UDF / seeded-RNG operators)
         "flagship_quality_filter": q_flagship_quality_filter,
@@ -719,6 +760,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
             FROM events GROUP BY 1
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), docfreq AS (
+                SELECT token, count(*) AS df FROM tf GROUP BY 1
+            ), total AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf * ln(CAST(total.n AS DOUBLE) / docfreq.df) AS tfidf
+                FROM tf JOIN docfreq USING (token) CROSS JOIN total
+            )
+            SELECT doc_id, token, CAST(rk AS INTEGER) AS rk, round(tfidf, 6) AS tfidf
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rk
+                FROM scored
+            ) WHERE rk <= 3
+        """,
+        "asof_join_purchase_view": """
+            WITH purchases AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ), views AS (
+                SELECT user_id, ts, max(event_id) AS event_id FROM events
+                WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id,
+                   -- floor, not CAST-rounding: Spark ts->long truncates
+                   CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+                   v.event_id AS view_event_id,
+                   CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_s
+            FROM purchases p ASOF LEFT JOIN views v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
         """,
         "value_quantiles": """
             SELECT event_type,

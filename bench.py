@@ -87,6 +87,29 @@ def time_queries(sf_dir: str, cpus: str) -> dict[str, float]:
 
     spark = get_spark(f"local[{cpus}]", app_name="gobulk-bench")
     qs = entrymod.queries()
+    # untimed warm-up: spin up the Python worker pool (reused across
+    # queries), import the package + fit the lazy model singletons in
+    # every worker, and JIT the scan path — so per-query timings measure
+    # steady-state engine throughput, not one-off process startup
+    # (round-1 bench charged ~6s of worker/import spin-up to whichever
+    # query ran first)
+    entrymod._ship_package(spark)
+
+    def _warm(batches):
+        from gobulk_spark.models import langid, perplexity  # worker-side
+
+        import pandas as pd
+
+        langid.predict(pd.Series(["warm up the models"]))
+        perplexity.score(pd.Series(["warm up the models"]))
+        yield from batches
+
+    spark.range(int(cpus) * 8, numPartitions=int(cpus) * 2).mapInPandas(
+        _warm, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
+    qs["language_distribution"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
     out: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -110,7 +133,11 @@ def run_pipeline_leg(master: str, source_path: str) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     spark = get_spark(master, app_name=f"gobulk-pipeline-{tag}", extra_conf=LEG_CONF)
 
-    cached = src_scan.read_source(spark, source_path).persist(StorageLevel.OFF_HEAP)
+    # mirror the pipeline's parse input: content_hash is computed on the
+    # scan projection and rides through the Arrow stage
+    cached = src_scan.with_content_hash(
+        src_scan.read_source(spark, source_path)
+    ).persist(StorageLevel.OFF_HEAP)
     n_rows = cached.count()
 
     def compute_leg() -> float:

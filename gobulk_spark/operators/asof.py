@@ -1,0 +1,80 @@
+"""As-of join — a temporal operator Spark's DataFrame API lacks.
+
+For each left row, attach the most recent right row with
+right.ts <= left.ts within the same key group (the classic
+point-in-time / last-tick join of event pipelines: enrich a purchase
+with the last preceding page view, a trade with the last quote).
+
+Spark-first implementation: NO join at all. Both sides are tagged and
+unioned, then one window pass per key group ordered by
+(ts, side-marker) carries the latest right-side attributes forward
+with last(..., ignorenulls=True); left rows then read the carried
+values. Cost = one shuffle on the key column + one sort within
+partitions — the same price as a groupBy, independent of how many
+right rows precede each left row (an equi-join + max-filter would be
+quadratic per key). Equal timestamps match (right sorts before left
+at the same ts via the marker).
+
+Oracle: DuckDB's native ASOF JOIN — the driver checks this operator
+bit-for-bit (query ``asof_join_purchase_view``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str,
+    right_cols: tuple[str, ...],
+    prefix: str = "asof_",
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Left as-of-backward join: all left columns + ``prefix``-named
+    snapshots of ``right_cols`` from the latest right row at-or-before
+    each left row's ``ts_col`` (null when no right row precedes).
+
+    ``by`` is the equality key (shuffle key); both frames must carry
+    ``by`` and ``ts_col``. Right rows that tie a left row's timestamp
+    DO match, mirroring DuckDB ASOF's >= semantics. When several RIGHT
+    rows share (by, ts), pass ``tie_break`` (a right_cols member) to
+    make the winner deterministic (highest value wins); otherwise
+    pre-dedupe the right side.
+    """
+    lcols = left.columns
+    null_t = {f.name: f.dataType for f in right.schema.fields}
+    l_tag = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(null_t[c]).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tag = right.select(
+        F.col(by),
+        F.col(ts_col),
+        *[F.lit(None).cast(dict(zip(lcols, [f.dataType for f in left.schema.fields]))[c]).alias(c) for c in lcols if c not in (by, ts_col)],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    ).select(*lcols, "_side", *[f"_r_{c}" for c in right_cols])
+    u = l_tag.unionByName(r_tag)
+    # right (_side=0) sorts before left (_side=1) at equal ts -> ties match
+    order = [F.col(ts_col), F.col("_side")]
+    if tie_break is not None:
+        order.append(F.col(f"_r_{tie_break}").asc_nulls_last())
+    w = (
+        Window.partitionBy(by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *lcols,
+        F.col("_side"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.where(F.col("_side") == 1).drop("_side")

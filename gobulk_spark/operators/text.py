@@ -59,6 +59,36 @@ def max_token_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf.
+
+    idf = ln(N/df) over the corpus. Three narrow shuffles: tf groupBy
+    (map-side combined), df groupBy over per-doc-distinct tokens, and
+    the window per doc — the token join keys on the aggregated vocab,
+    orders of magnitude smaller than the corpus. Ties break
+    alphabetically so results are total-ordered (oracle-stable).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    total = df.select(F.countDistinct(id_col).alias("_n"))
+    docfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("_n") / F.col("df")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(id_col, "token", "rk", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
 def shingles(text: Column, n: int) -> Column:
     """Word n-gram shingle array (space-joined), via higher-order funcs.
 

@@ -172,3 +172,33 @@ def test_ivf_trained_codebook_beats_random(spark):
     occ_r = similarity.with_ivf_cell(emb, dim, 16, seed=7).groupBy("ivf_cell").count().toPandas()["count"]
     assert len(occ_t) == 16  # no dead cells
     assert occ_t.max() - occ_t.min() < occ_r.max() - occ_r.min()
+
+
+def test_asof_join_semantics_and_plan(spark):
+    from gobulk_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": [1, 2, 3, 4], "k": ["a", "a", "a", "b"], "t": [5, 10, 3, 7]}
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a", "a", "a", "b"], "t": [4, 10, 8, 9], "v": [40, 100, 80, 90]}
+        )
+    )
+    out = asof_join(
+        left, right, by="k", ts_col="t", right_cols=("v",), tie_break="v"
+    ).toPandas().set_index("id")
+    assert out.loc[1, "asof_v"] == 40    # latest right at t<=5 is t=4
+    assert out.loc[2, "asof_v"] == 100   # equal ts matches (t=10)
+    assert pd.isna(out.loc[3, "asof_v"])  # nothing at-or-before t=3
+    assert pd.isna(out.loc[4, "asof_v"])  # other key's rows invisible (b: t=9>7)
+    # plan: ONE shuffle (the window's partitionBy) and NO join node —
+    # the operator must not degrade into an equi-join + filter
+    plan = (
+        asof_join(left, right, by="k", ts_col="t", right_cols=("v",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
