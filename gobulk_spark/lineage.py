@@ -235,6 +235,26 @@ def prior_kept_ids(
     )
 
 
+def pause_requested(out_dir: str, spark: SparkSession | None = None) -> bool:
+    """gobulk's switcher pause (runner.go Run/Stop): a control file at
+    <out>/_control/pause makes the pipeline stop cleanly at the NEXT
+    phase boundary; removing it and re-running resumes from the last
+    committed checkpoint. Phase boundaries are the safe pause points —
+    the analogue of gobulk pausing between container bulks."""
+    spark = spark or SparkSession.getActiveSession()
+    return Fs(spark, out_dir).exists(_join(out_dir, "_control", "pause"))
+
+
+def request_pause(out_dir: str, spark: SparkSession | None = None) -> None:
+    spark = spark or SparkSession.getActiveSession()
+    Fs(spark, out_dir).write_text_atomic(_join(out_dir, "_control", "pause"), "paused")
+
+
+def clear_pause(out_dir: str, spark: SparkSession | None = None) -> None:
+    spark = spark or SparkSession.getActiveSession()
+    Fs(spark, out_dir).delete(_join(out_dir, "_control", "pause"))
+
+
 def recover_kept_swaps(spark: SparkSession, out_dir: str) -> list[str]:
     """Heal every half-finished kept-directory swap before ANY read.
 

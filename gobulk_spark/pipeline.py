@@ -76,7 +76,19 @@ def run_pipeline(
     sink = sink if sink is not None else ParquetKeptSink(out)
     summary: dict = {"run_id": rid, "phases": {}, "config": {k: str(v) for k, v in asdict(cfg).items()}}
 
+    def _pause_check(phase: str) -> dict | None:
+        """Cooperative pause at phase boundaries (gobulk switcher,
+        C3): committed phases stay committed; a later run resumes."""
+        if lineage.pause_requested(out, spark):
+            summary["status"] = "paused"
+            summary["paused_before"] = phase
+            summary["wall_s"] = time.time() - t_start
+            return summary
+        return None
+
     # ---------------- phase: scan (discover, marker, dedup) ----------------
+    if (p := _pause_check("scan")) is not None:
+        return p
     dups_path = lineage.stage_dir(out, rid, "dups")
     ck = cfg.resume and lineage.phase_committed(out, rid, "scan")
     if not ck:
@@ -119,6 +131,8 @@ def run_pipeline(
     n_dups = ck["n_dups"]
 
     # ---------------- phase: parse (decode + models, vectorized) -----------
+    if (p := _pause_check("parse")) is not None:
+        return p
     feats_path = lineage.stage_dir(out, rid, "features")
 
     def _parse_frame() -> DataFrame:
@@ -162,6 +176,8 @@ def run_pipeline(
     summary["phases"]["parse"] = ck
 
     # ---------------- phase: store (decide, write kept/audit/metrics) ------
+    if (p := _pause_check("store")) is not None:
+        return p
     ck = cfg.resume and lineage.phase_committed(out, rid, "store")
     if not ck:
         t0 = time.time()
@@ -185,14 +201,25 @@ def run_pipeline(
             n_issue = decided.where(F.col("action") == "issue").count()
             if n_issue:
                 raise RuntimeError(f"StopOnError: {n_issue} issue rows in parse output")
+        # per-sub-operation tracking (gobulk executor sub-op recursion,
+        # E4): each store write records its wall + completion in the
+        # commit manifest; an exception aborts before commit, so a
+        # manifest listing a sub-op proves it finished
+        subops: list[dict] = []
+
+        def _sub(name: str, fn) -> None:
+            ts = time.time()
+            fn()
+            subops.append({"op": name, "wall_s": round(time.time() - ts, 3), "ok": True})
+
         # --- D: remove prior kept rows of update/delete ids (staged
         #        rewrite + atomic swap; idempotent under retry) ---------
         if existing is not None:
-            executor.execute_deletes(spark, sink, rid, decided)
+            _sub("delete", lambda: executor.execute_deletes(spark, sink, rid, decided))
         # --- U + C: this run's kept rows land in the sink's run scope --
         # per-run overwrite = idempotent under store-phase retry even on
         # incremental runs (run 2's retry never touches run 1)
-        sink.write(executor.kept_rows(decided, KEPT_COLUMNS), rid)
+        _sub("write_kept", lambda: sink.write(executor.kept_rows(decided, KEPT_COLUMNS), rid))
         # --- O: omits/issues reach only the audit + metrics tables -----
         audit = executor.store_audit_columns(decided, rid)
         # run totals ride the audit write as an observation — no read-back
@@ -204,8 +231,13 @@ def run_pipeline(
             F.sum(F.col("action").isin("omit", "delete").cast("long")).alias("dropped"),
             F.sum((F.col("action") == "issue").cast("long")).alias("issues"),
         )
-        lineage.write_audit(audit, out, "store", rid)
-        lineage.write_metrics(lineage.partition_metrics(decided, rid), out, "store", rid)
+        _sub("write_audit", lambda: lineage.write_audit(audit, out, "store", rid))
+        _sub(
+            "write_metrics",
+            lambda: lineage.write_metrics(
+                lineage.partition_metrics(decided, rid), out, "store", rid
+            ),
+        )
         stats = obs.get
         if cfg.fused or existing is not None:
             decided.unpersist()
@@ -217,8 +249,10 @@ def run_pipeline(
             kept=stats["kept"],
             dropped=stats["dropped"],
             issues=stats["issues"],
+            subops=subops,
             wall_s=time.time() - t0,
         )
     summary["phases"]["store"] = ck
+    summary["status"] = "completed"
     summary["wall_s"] = time.time() - t_start
     return summary

@@ -1,0 +1,80 @@
+"""Switcher pause/resume (C3) + per-sub-op tracking (E4).
+
+gobulk's switcher pauses the runner between container bulks
+(runner.go Run/Stop); here the safe boundary is the phase commit: a
+control file stops the pipeline cleanly BEFORE the next phase, and a
+later run (pause cleared) resumes from the committed checkpoints
+without recomputing anything already done.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+from gobulk_spark import lineage
+from gobulk_spark.config import PipelineConfig
+from gobulk_spark.corpus import generate_pairs
+from gobulk_spark.pipeline import run_pipeline
+
+BASE = "/tmp/gobulk_spark_test_out/pause"
+
+
+def _src() -> str:
+    os.makedirs(BASE, exist_ok=True)
+    path = os.path.join(BASE, "src.parquet")
+    pq.write_table(generate_pairs(300, seed=3)[0], path)
+    return path
+
+
+def test_pause_before_start_then_resume(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    src = _src()
+    out = os.path.join(BASE, "out1")
+    cfg = PipelineConfig(source_path=src, out_dir=out, run_id="r1")
+    lineage.request_pause(out, spark)
+    s = run_pipeline(spark, cfg)
+    assert s["status"] == "paused" and s["paused_before"] == "scan"
+    assert s["phases"] == {}  # nothing ran, nothing committed
+    lineage.clear_pause(out, spark)
+    s2 = run_pipeline(spark, cfg)
+    assert s2["status"] == "completed"
+    assert set(s2["phases"]) == {"scan", "parse", "store"}
+
+
+def test_pause_mid_run_resumes_from_checkpoint(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    src = _src()
+    out = os.path.join(BASE, "out2")
+    cfg = PipelineConfig(source_path=src, out_dir=out, run_id="r1")
+    s = run_pipeline(spark, cfg)
+    scan_commit = s["phases"]["scan"]["committed_at"]
+    # simulate a pause that landed after scan committed: drop the later
+    # checkpoints, request pause, re-run -> stops before parse
+    os.remove(os.path.join(out, "_checkpoint", "r1", "parse.json"))
+    os.remove(os.path.join(out, "_checkpoint", "r1", "store.json"))
+    lineage.request_pause(out, spark)
+    p = run_pipeline(spark, cfg)
+    assert p["status"] == "paused" and p["paused_before"] == "parse"
+    assert p["phases"]["scan"]["committed_at"] == scan_commit  # not recomputed
+    lineage.clear_pause(out, spark)
+    r = run_pipeline(spark, cfg)
+    assert r["status"] == "completed"
+    assert r["phases"]["scan"]["committed_at"] == scan_commit
+    kept = lineage.read_kept(spark, out).toPandas()
+    assert kept["image_id"].is_unique and len(kept) > 0
+
+
+def test_store_commit_records_subops(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    src = _src()
+    out = os.path.join(BASE, "out3")
+    s = run_pipeline(spark, PipelineConfig(source_path=src, out_dir=out, run_id="r1"))
+    subops = s["phases"]["store"]["subops"]
+    assert [o["op"] for o in subops] == ["write_kept", "write_audit", "write_metrics"]
+    assert all(o["ok"] and o["wall_s"] >= 0 for o in subops)
+    # the manifest on disk carries them too (resume reads the same dict)
+    ck = lineage.phase_committed(out, "r1", "store", spark)
+    assert [o["op"] for o in ck["subops"]] == ["write_kept", "write_audit", "write_metrics"]
