@@ -78,7 +78,9 @@ def run_pipeline(
 
     def _pause_check(phase: str) -> dict | None:
         """Cooperative pause at phase boundaries (gobulk switcher,
-        C3): committed phases stay committed; a later run resumes."""
+        C3): checked only when the phase has uncommitted work, so a
+        paused run reports exactly the phases that DID complete;
+        committed phases stay committed and a later run resumes."""
         if lineage.pause_requested(out, spark):
             summary["status"] = "paused"
             summary["paused_before"] = phase
@@ -87,11 +89,11 @@ def run_pipeline(
         return None
 
     # ---------------- phase: scan (discover, marker, dedup) ----------------
-    if (p := _pause_check("scan")) is not None:
-        return p
     dups_path = lineage.stage_dir(out, rid, "dups")
     ck = cfg.resume and lineage.phase_committed(out, rid, "scan")
     if not ck:
+        if (p := _pause_check("scan")) is not None:
+            return p
         t0 = time.time()
         src = src_scan.with_content_hash(src_scan.read_source(spark, cfg.source_path))
         if cfg.incremental:
@@ -131,8 +133,6 @@ def run_pipeline(
     n_dups = ck["n_dups"]
 
     # ---------------- phase: parse (decode + models, vectorized) -----------
-    if (p := _pause_check("parse")) is not None:
-        return p
     feats_path = lineage.stage_dir(out, rid, "features")
 
     def _parse_frame() -> DataFrame:
@@ -164,6 +164,8 @@ def run_pipeline(
         # process step (gobulk ContainerBulkSize=inf analogue).
         ck = ck or {"phase": "parse", "status": "fused-into-store"}
     elif not ck:
+        if (p := _pause_check("parse")) is not None:
+            return p
         t0 = time.time()
         feats = _parse_frame()
         # row count via observation on the write job — no second scan
@@ -176,10 +178,10 @@ def run_pipeline(
     summary["phases"]["parse"] = ck
 
     # ---------------- phase: store (decide, write kept/audit/metrics) ------
-    if (p := _pause_check("store")) is not None:
-        return p
     ck = cfg.resume and lineage.phase_committed(out, rid, "store")
     if not ck:
+        if (p := _pause_check("store")) is not None:
+            return p
         t0 = time.time()
         # heal half-finished kept swaps from a crashed earlier attempt
         # BEFORE anything reads the kept store
