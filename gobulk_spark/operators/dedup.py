@@ -18,10 +18,25 @@ bit-for-bit: h_i(s) = md5(i || '|' || s), minimized as hex strings
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint, shingles
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Persist a narrow intermediate consumed by several subtrees of one
+    operator (hot-bucket aggregation + both self-join sides).
+
+    Catalyst only reuses IDENTICAL exchange subtrees, so without this
+    the upstream map work (shingle explode, hashing, Arrow UDFs) runs
+    once PER CONSUMER — the minhash candidates plan showed 4 parquet
+    scans and 4x the min-md5 aggregation. At 10^12 rows that is the
+    whole corpus scanned four times. MEMORY_AND_DISK so wide corpora
+    spill instead of failing; Spark evicts LRU, so pinned frames from
+    finished queries don't accumulate memory pressure."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -148,7 +163,7 @@ def minhash_lsh_candidates(
     over-full buckets are non-discriminative and quadratic (the standard
     LSH hot-bucket guard; the skew story of SURVEY §4 applied to joins).
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig = pin(minhash_signatures(df, id_col, text_col, num_hashes, shingle_n))
     if max_bucket_size is not None:
         hot = (
             sig.groupBy("band", "minhash")
@@ -187,7 +202,7 @@ def ngram_jaccard_pairs(
     (stop-shingle skew guard); None keeps everything (exact semantics,
     required when an oracle cross-checks the result).
     """
-    sh = _shingled(df, id_col, text_col, shingle_n)
+    sh = pin(_shingled(df, id_col, text_col, shingle_n))
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
             F.col("df") > max_shingle_df

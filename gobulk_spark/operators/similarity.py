@@ -325,7 +325,11 @@ def embedding_near_dup_pairs(
             F.lit(0).alias("band_key"),
         )
     else:
-        banded = with_banded_lsh_keys(emb, dim, n_bands, band_planes, seed, id_col)
+        from .dedup import pin
+
+        # pinned: the guard aggregation and both join sides would each
+        # re-run the banding UDF over the full table otherwise
+        banded = pin(with_banded_lsh_keys(emb, dim, n_bands, band_planes, seed, id_col))
         if max_bucket_size is not None:
             hot = (
                 banded.groupBy("band", "band_key")

@@ -178,7 +178,11 @@ def simhash_near_dups(
     are non-discriminative and quadratic (hot-key guard).
     """
     # one pass, explode into 4 (band, band_key) rows — a 4-way unionAll
-    # would re-evaluate the simhash UDF per branch
+    # would re-evaluate the simhash UDF per branch; pinned because the
+    # guard aggregation and both self-join sides each re-trigger the
+    # upstream otherwise (dedup.pin rationale)
+    from .dedup import pin
+
     banded = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -196,6 +200,7 @@ def simhash_near_dups(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.band_key")
+    banded = pin(banded)
     if max_bucket_size is not None:
         hot = (
             banded.groupBy("band", "band_key")

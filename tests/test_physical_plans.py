@@ -90,3 +90,14 @@ def test_binary_column_absent_downstream_of_parse(spark, src):
     from gobulk_spark.rules import DEFAULT_THRESHOLDS
 
     assert "bytes" not in decision_columns(feats, DEFAULT_THRESHOLDS).columns
+
+def test_lsh_self_join_reuses_pinned_intermediate(spark):
+    """The signature/shingle frame must be computed once and read from
+    cache by the guard + both self-join sides — without the pin the
+    corpus-wide map work executes once per consumer (4 scans observed)."""
+    from gobulk_spark.operators.dedup import minhash_lsh_candidates
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = minhash_lsh_candidates(d, "doc_id", "text", 8, 2, max_bucket_size=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3  # guard + join left + join right
