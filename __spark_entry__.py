@@ -387,6 +387,23 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(e, dim, min_cosine=0.4, max_bucket_size=64)
 
 
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) containment candidates over documents —
+    rolling-hash fingerprints, local positions, so partial overlap is
+    detectable (rows-only: the winnowing selection is not expressible
+    in one SQL oracle; the operator is property-tested instead)."""
+    from gobulk_spark.operators.text import winnow_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    # k=16 char-grams: selective on natural text (k=5 matched shared
+    # vocabulary and exploded to 58k candidate pairs at 500 docs);
+    # measured: finds 25/25 jaccard>=0.3 pairs + 34 containment
+    # candidates the whole-document measures miss
+    return winnow_overlap_pairs(
+        d, "doc_id", "text", k=16, window=8, min_shared=4, max_fp_df=32
+    )
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup survivor set (min-id per fingerprint) over documents."""
     from gobulk_spark.operators.dedup import dedup_exact
@@ -532,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_ann": q_embedding_lsh_ann,
         "embedding_ivf_ann": q_embedding_ivf_ann,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "winnow_overlap_pairs": q_winnow_overlap_pairs,
     }
 
 

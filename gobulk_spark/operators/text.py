@@ -112,6 +112,134 @@ def shingles(text: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): Karp-Rabin rolling hashes over
+    char k-grams, then the minimum hash of every sliding window of
+    ``window`` consecutive k-gram hashes (rightmost minimum on ties).
+
+    Guarantees: any shared substring of length >= k + window - 1
+    between two documents yields at least one shared fingerprint, and
+    fingerprint positions are LOCAL — unlike minhash, winnowing
+    detects containment/partial overlap, not just whole-document
+    similarity. Density is ~2/(window+1) of all k-grams.
+
+    One vectorized Arrow UDF per batch (numpy stride tricks, no
+    per-row Python loops beyond the batch), exploded to
+    (id, fingerprint, pos) rows — joins on fingerprint find overlap
+    candidates exactly like the shingle inverted index.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.StructType([
+        T.StructField("fp", T.LongType()),
+        T.StructField("pos", T.IntegerType()),
+    ])))
+    def _winnow(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        np.seterr(over="ignore")  # worker-local; 2^64 wrap IS the modulus
+        B = np.uint64(1000003)  # Karp-Rabin base (odd, large)
+        out = []
+        for t in texts.fillna(""):
+            b = np.frombuffer(t.lower().encode("utf-8", "ignore"), dtype=np.uint8)
+            n = len(b) - k + 1
+            if n <= 0:
+                out.append([])
+                continue
+            # rolling hash via cumulative polynomial trick, all numpy:
+            # h[i] = sum b[i+j] * B^(k-1-j); computed from prefix sums
+            # of b[j] * B^{-j} scaled back — uint64 wrap-around is the
+            # modulus (2^64), multiplicative inverses exist for odd B
+            one = np.ones(1, dtype=np.uint64)
+            powers = np.concatenate(
+                [one, np.cumprod(np.full(len(b) - 1, B, dtype=np.uint64))]
+            )
+            inv = np.uint64(pow(int(B), -1, 1 << 64))
+            invpow = np.concatenate(
+                [one, np.cumprod(np.full(len(b) - 1, inv, dtype=np.uint64))]
+            )
+            scaled = b.astype(np.uint64) * invpow  # b[j] * B^-j
+            csum = np.cumsum(scaled, dtype=np.uint64)
+            seg = csum[k - 1 :].copy()
+            seg[1:] -= csum[: n - 1]
+            h = seg * powers[k - 1 : k - 1 + n]  # normalize exponent
+            # mix so low bytes differ (KR hashes cluster)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+            if n <= window:
+                m = int(np.flatnonzero(h == h.min())[-1])
+                out.append([(int(h[m] >> np.uint64(1)), m)])
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(h, window)
+            # rightmost minimum per window: reverse, argmin, map back
+            rev = win[:, ::-1]
+            arg = window - 1 - rev.argmin(axis=1)
+            pos = arg + np.arange(len(win))
+            fsel = h[pos]
+            keep = np.ones(len(pos), dtype=bool)
+            keep[1:] = pos[1:] != pos[:-1]  # dedupe consecutive repeats
+            out.append(
+                [(int(f >> np.uint64(1)), int(p))
+                 for f, p in zip(fsel[keep], pos[keep])]
+            )
+        return pd.Series(out, index=texts.index)
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(n_part, id_col)
+        .select(F.col(id_col), F.explode(_winnow(F.col(text_col))).alias("w"))
+        .select(id_col, F.col("w.fp").alias("fingerprint"), F.col("w.pos").alias("pos"))
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 3,
+    max_fp_df: int | None = 64,
+) -> DataFrame:
+    """Containment/overlap candidate pairs: documents sharing >=
+    ``min_shared`` winnowing fingerprints. Inverted-index self-join on
+    the fingerprint (same shape as the shingle index), stop-fingerprint
+    guard drops fingerprints present in > max_fp_df docs."""
+    from .dedup import pin
+
+    fp = pin(
+        winnow_fingerprints(df, id_col, text_col, k, window)
+        .select(id_col, "fingerprint")
+        .distinct()
+    )
+    if max_fp_df is not None:
+        hot = (
+            fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_fp_df)
+            .select("fingerprint")
+        )
+        fp = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
+    l, r = fp.alias("l"), fp.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.fingerprint") == F.col("r.fingerprint"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
 SIMHASH_BITS = 64
 
 

@@ -202,3 +202,84 @@ def test_asof_join_semantics_and_plan(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_winnow_fingerprints_guarantees(spark):
+    """Winnowing contracts (SIGMOD'03): identical docs -> identical
+    fingerprint sets; any shared substring of length >= k+window-1
+    yields >= 1 shared fingerprint (containment detection, which
+    minhash can't do); density ~ 2/(window+1); disjoint alphabets
+    share nothing."""
+    from gobulk_spark.operators.text import winnow_fingerprints
+
+    k, w = 5, 4
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    contained = "XXXXXX " + base[10:45] + " YYYYYY"  # shares a 35-char span
+    rows = [
+        (0, base),
+        (1, base),                      # exact dup
+        (2, contained),                 # partial overlap
+        (3, "zzzz qqqq wwww eeee rrrr tttt yyyy uuuu iiii oooo pppp"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = winnow_fingerprints(df, "doc_id", "text", k=k, window=w).toPandas()
+    sets = {i: set(g["fingerprint"]) for i, g in out.groupby("doc_id")}
+    assert sets[0] == sets[1]                      # identical docs
+    assert sets[0] & sets[2]                       # containment detected
+    assert not (sets[0] & sets[3])                 # disjoint alphabets
+    n_kgrams = len(base) - k + 1
+    n_fp = len(out[out.doc_id == 0])
+    assert n_fp <= n_kgrams
+    assert n_fp >= (n_kgrams - w + 1) // w         # >= one per window stride
+    # positions are local: every pos indexes a real k-gram of ITS doc
+    lengths = {i: len(t) for i, t in rows}
+    for i, g in out.groupby("doc_id"):
+        assert g["pos"].between(0, lengths[i] - k).all()
+
+
+def test_winnow_rolling_hash_matches_direct(spark):
+    """The prefix-sum Karp-Rabin trick must equal the direct polynomial
+    hash for every k-gram (uint64 wrap-around as the modulus)."""
+    import numpy as np
+
+    from gobulk_spark.operators.text import winnow_fingerprints
+
+    text = "abcabcabcxyz"
+    k = 3
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    # window=1 -> every k-gram hash is selected (min of singleton)
+    out = winnow_fingerprints(df, "doc_id", "text", k=k, window=1).toPandas()
+    B = np.uint64(1000003)
+
+    def direct(s: str) -> int:
+        with np.errstate(over="ignore"):  # mod-2^64 wrap IS the hash
+            h = np.uint64(0)
+            for ch in s.encode():
+                h = h * B + np.uint64(ch)
+            h ^= h >> np.uint64(33)      # same avalanche mix as the operator
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+        return int(h >> np.uint64(1))
+    got = dict(zip(out.pos, out.fingerprint))
+    for i in range(len(text) - k + 1):
+        assert got[i] == direct(text[i : i + k].lower()), i
+    # equal adjacent k-grams ("abc" at 0,3,6) hash identically
+    assert got[0] == got[3] == got[6]
+
+
+def test_winnow_overlap_supersedes_strong_jaccard(spark):
+    """Winnowing candidates must cover every strong whole-document
+    near-dup (jaccard >= 0.3) on the driver corpus — plus containment
+    pairs jaccard can't see. Deterministic (no RNG anywhere)."""
+    from gobulk_spark.operators.text import winnow_overlap_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    jac = dedup.ngram_jaccard_pairs(d, "doc_id", "text", 2, 0.3, None).toPandas()
+    strong = set(zip(jac.id_a, jac.id_b))
+    assert strong, "precondition: corpus has strong near-dups"
+    out = winnow_overlap_pairs(
+        d, "doc_id", "text", k=16, window=8, min_shared=4, max_fp_df=32
+    ).toPandas()
+    got = set(zip(out.id_a, out.id_b))
+    assert strong <= got
+    assert len(got) < 500 * 499 / 20  # selective, not the all-pairs graph
