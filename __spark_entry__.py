@@ -456,6 +456,28 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defeating salted join (hot keys fan out over 8 reducers);
+    result is provably identical to the plain join — that invariance IS
+    the oracle check."""
+    from gobulk_spark.operators.relational import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(o, c, "custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by tf*ln(N/df)."""
     from gobulk_spark.operators.text import tfidf_top_terms
@@ -542,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles": q_value_quantiles,
         "tfidf_top_terms": q_tfidf_top_terms,
         "asof_join_purchase_view": q_asof_join_purchase_view,
+        "salted_join_revenue": q_salted_join_revenue,
         "embedding_exact_near_dups": q_embedding_exact_near_dups,
         # rows-only (vectorized Arrow UDF / seeded-RNG operators)
         "flagship_quality_filter": q_flagship_quality_filter,
@@ -778,6 +801,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
             FROM events GROUP BY 1
+        """,
+        "salted_join_revenue": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
         """,
         "tfidf_top_terms": """
             WITH toks AS (

@@ -1,0 +1,44 @@
+"""Relational scale patterns: skew-defeating salted join.
+
+AQE's skew-join split handles moderate skew automatically, but a
+pathologically hot key (one user with 10^9 events joined to a
+non-broadcastable right side) still lands entire key groups on single
+reducers when the right side must shuffle. The classic fix: salt the
+big side's key with a deterministic shard id and replicate the small
+side once per salt — the hot key fans out over ``n_salts`` reducers
+and the join result is IDENTICAL to the plain join (oracle-checked,
+query salted_join_revenue).
+
+Cost model: right side is duplicated n_salts times (choose n_salts ~
+the skew factor, not the cluster size); the left side pays one extra
+narrow column. Use only when the right side is too big to broadcast
+and a key is hot enough to dominate the stage; otherwise plain join +
+AQE wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_by: str | None = None,
+) -> DataFrame:
+    """Join ``left`` (big, skewed) to ``right`` (small-ish, not
+    broadcastable) on ``on``, spreading each key over ``n_salts``
+    reducers. Deterministic: the salt derives from xxhash64 of
+    ``salt_by`` (default: every left column), so retried tasks
+    repartition identically — never rand().
+    """
+    salt_src = F.xxhash64(*(left.columns if salt_by is None else [salt_by]))
+    l = left.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)).cast("int"))
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return l.join(r, [on, "_salt"], how).drop("_salt")

@@ -283,3 +283,36 @@ def test_winnow_overlap_supersedes_strong_jaccard(spark):
     got = set(zip(out.id_a, out.id_b))
     assert strong <= got
     assert len(got) < 500 * 499 / 20  # selective, not the all-pairs graph
+
+
+def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
+    from gobulk_spark.operators.relational import salted_join
+
+    # pathological skew: one key owns 90% of the left side
+    left = pd.DataFrame({
+        "k": [1] * 900 + list(range(2, 102)),
+        "v": range(1000),
+    })
+    right = pd.DataFrame({"k": list(range(1, 102)), "name": [f"n{i}" for i in range(1, 102)]})
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    plain = l.join(r, "k").toPandas().sort_values(["k", "v"]).reset_index(drop=True)
+    salted = (
+        salted_join(l, r, "k", n_salts=8)
+        .toPandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain[["k", "v", "name"]], salted[["k", "v", "name"]])
+    # the hot key's rows really fan out over several salt shards
+    shards = (
+        salted_join(l, r, "k", n_salts=8)
+        .where(F.col("k") == 1)
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert shards >= 4  # 900 rows over 8 salts land on >= 4 reducers
+    # left join keeps unmatched rows exactly once
+    l2 = spark.createDataFrame(pd.DataFrame({"k": [1, 999], "v": [0, 1]}))
+    lj = salted_join(l2, r, "k", n_salts=4, how="left").toPandas()
+    assert len(lj) == 2 and lj.loc[lj.k == 999, "name"].isna().all()
