@@ -28,7 +28,7 @@ from dataclasses import asdict
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from . import executor, lineage
+from . import deploy, executor, lineage
 from .config import PipelineConfig
 from .plan import decision_columns
 from .sinks import KeptSink, ParquetKeptSink
@@ -74,6 +74,7 @@ def run_pipeline(
     t_start = time.time()
     out, rid = cfg.out_dir, cfg.run_id
     sink = sink if sink is not None else ParquetKeptSink(out)
+    deploy.ship(spark)  # executors must import this package (any cwd)
     summary: dict = {"run_id": rid, "phases": {}, "config": {k: str(v) for k, v in asdict(cfg).items()}}
 
     def _pause_check(phase: str) -> dict | None:

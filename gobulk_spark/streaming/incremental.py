@@ -111,6 +111,9 @@ def run_streaming_ingest(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    from ..deploy import ship
+
+    ship(spark)  # microbatch UDFs need the package on executors
     stream = reader.load()
     q = (
         stream.writeStream.foreachBatch(

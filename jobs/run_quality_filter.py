@@ -26,6 +26,12 @@ def main() -> None:
     ap.add_argument("--stop-on-error", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="throughput mode: parse fuses into store (no staging)")
+    ap.add_argument("--pause", action="store_true",
+                    help="request a pause at the next phase boundary and exit")
+    ap.add_argument("--unpause", action="store_true",
+                    help="clear a pause request and exit")
     ap.add_argument("--arrow-batch-rows", type=int, default=2048)
     args = ap.parse_args()
 
@@ -36,7 +42,14 @@ def main() -> None:
         "spark.sql.execution.arrow.maxRecordsPerBatch", str(args.arrow_batch_rows)
     )
 
+    from gobulk_spark import lineage
     from gobulk_spark.config import PipelineConfig
+
+    if args.pause or args.unpause:
+        (lineage.request_pause if args.pause else lineage.clear_pause)(args.out, spark)
+        print(json.dumps({"out": args.out, "pause": bool(args.pause)}))
+        spark.stop()
+        return
 
     cfg = PipelineConfig(
         source_path=args.source,
@@ -46,6 +59,7 @@ def main() -> None:
         stop_on_error=args.stop_on_error,
         resume=not args.no_resume,
         arrow_batch_rows=args.arrow_batch_rows,
+        fused=args.fused,
     )
     if args.streaming:
         from gobulk_spark.streaming.incremental import run_streaming_ingest
