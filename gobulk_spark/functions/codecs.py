@@ -163,8 +163,16 @@ def decode_xml_batch(
                 row["issue_note"] = "null payload"
             else:
                 text = decode_xml_text(blob, external_entities, strict)
-                if not strict:  # lenient: unknown entities stripped pre-parse
-                    text = _ENTITY_RE.sub("", text)
+                if not strict:
+                    # lenient: strip unknown entities pre-parse — but the
+                    # five PREDEFINED XML entities are not unknown; the
+                    # parser expands them (stripping &amp;/&lt;/... would
+                    # silently corrupt valid documents)
+                    predefined = {"amp", "lt", "gt", "quot", "apos"}
+                    text = _ENTITY_RE.sub(
+                        lambda mm: mm.group(0) if mm.group(1) in predefined else "",
+                        text,
+                    )
                 # charset already applied above; ET refuses unicode input
                 # that still carries an encoding declaration
                 text = re.sub(r"^\s*<\?xml[^>]*\?>", "", text, count=1)

@@ -218,7 +218,14 @@ def processed_keys(
         if exclude_phases is not None:
             own = own & F.col("wphase").isin(*exclude_phases)
         audit = audit.where(~own)
-    return audit.select("image_id", "content_hash").distinct()
+    # LATEST hash per id, not all-history pairs: a doc whose content
+    # REVERTS to a previously-seen hash must re-enter (the historical
+    # (id, old_hash) pair would otherwise mask the revert and leave the
+    # kept store stale forever — gobulk re-tracks per iteration).
+    # created is query-constant per write, so max_by orders runs.
+    return audit.groupBy("image_id").agg(
+        F.expr("max_by(content_hash, created)").alias("content_hash")
+    )
 
 
 def prior_kept_ids(

@@ -46,24 +46,34 @@ def asof_join(
     pre-dedupe the right side.
     """
     lcols = left.columns
-    null_t = {f.name: f.dataType for f in right.schema.fields}
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+    # ONE struct column carries the whole right row: carrying each
+    # attribute independently with last(ignorenulls) would stitch
+    # fields from DIFFERENT right rows whenever the latest row has a
+    # null attribute — the snapshot must be atomic
+    r_struct = F.struct(*[F.col(c) for c in right_cols])
+    struct_t = right.select(r_struct.alias("_r")).schema["_r"].dataType
     l_tag = left.select(
         *lcols,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(null_t[c]).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(struct_t).alias("_r"),
     )
     r_tag = right.select(
         F.col(by),
         F.col(ts_col),
-        *[F.lit(None).cast(dict(zip(lcols, [f.dataType for f in left.schema.fields]))[c]).alias(c) for c in lcols if c not in (by, ts_col)],
+        *[
+            F.lit(None).cast(ltypes[c]).alias(c)
+            for c in lcols
+            if c not in (by, ts_col)
+        ],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-    ).select(*lcols, "_side", *[f"_r_{c}" for c in right_cols])
+        r_struct.alias("_r"),
+    ).select(*lcols, "_side", "_r")
     u = l_tag.unionByName(r_tag)
     # right (_side=0) sorts before left (_side=1) at equal ts -> ties match
     order = [F.col(ts_col), F.col("_side")]
     if tie_break is not None:
-        order.append(F.col(f"_r_{tie_break}").asc_nulls_last())
+        order.append(F.col("_r").getField(tie_break).asc_nulls_last())
     w = (
         Window.partitionBy(by)
         .orderBy(*order)
@@ -72,9 +82,9 @@ def asof_join(
     carried = u.select(
         *lcols,
         F.col("_side"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in right_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_snap"),
     )
-    return carried.where(F.col("_side") == 1).drop("_side")
+    return carried.where(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col("_snap").getField(c).alias(f"{prefix}{c}") for c in right_cols],
+    )

@@ -243,13 +243,20 @@ def with_banded_lsh_keys(
     (single matmul), then posexplode — never b UDF evaluations.
     """
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    # hoisted: regenerating (n_bands*band_planes, dim) normals per Arrow
+    # batch is pure wasted CPU; the matrix ships once in the closure
+    planes = _hyperplanes(dim, n_bands * band_planes, seed)
+
+    # int64 keys: band_sizing emits band_planes > 31 past ~3e10 rows
+    # (r = ceil(log2(4n/guard))) — int32 would wrap, merge unrelated
+    # buckets past the guard and silently zero recall at exactly the
+    # scale this module is for
+    @F.pandas_udf(T.ArrayType(T.LongType()))
     def _keys(vecs: pd.Series) -> pd.Series:
-        planes = _hyperplanes(dim, n_bands * band_planes, seed)
         m = np.stack(vecs.to_numpy()).astype(np.float64)
         signs = (m @ planes.T > 0).reshape(len(m), n_bands, band_planes)
         weights = (1 << np.arange(band_planes, dtype=np.int64))[None, None, :]
-        keys = (signs * weights).sum(axis=2).astype(np.int32)
+        keys = (signs * weights).sum(axis=2).astype(np.int64)
         return pd.Series(list(keys), index=vecs.index)
 
     return emb.select(
@@ -312,17 +319,25 @@ def embedding_near_dup_pairs(
     pass both explicitly to skip the count job (e.g. when the caller
     already knows n, or tuned parameters for a known corpus).
     """
-    if band_planes is None or (band_planes != 0 and n_bands is None):
+    if band_planes is None and n_bands is None:
         guard = max_bucket_size if max_bucket_size is not None else 64
         n_bands, band_planes = band_sizing(
             emb.count(), min_cosine, guard, target_recall
+        )
+    elif band_planes is None or (band_planes != 0 and n_bands is None):
+        # auto-sizing couples the two (plane count drives per-band hit
+        # rate, band count compensates) — silently overriding one half
+        # of an explicit setting would ignore the caller's intent
+        raise ValueError(
+            "pass BOTH n_bands and band_planes or NEITHER "
+            "(band_planes=0 alone selects the exact all-pairs baseline)"
         )
     if band_planes == 0:
         banded = emb.select(
             F.col(id_col),
             F.col("embedding"),
             F.lit(0).alias("band"),
-            F.lit(0).alias("band_key"),
+            F.lit(0).cast("long").alias("band_key"),
         )
     else:
         from .dedup import pin

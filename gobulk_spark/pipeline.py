@@ -195,11 +195,20 @@ def run_pipeline(
         # runner_test.go:638-702)
         existing = sink.existing_ids(spark, exclude_run_id=rid)
         decided = executor.classify_actions(decided, existing)
-        if cfg.fused or existing is not None:
-            # multiple actions consume the frame (delete step + three
-            # writes); cache the narrow decided frame so the expensive
-            # upstream (parse in fused mode) runs once
+        persisted = False
+        if existing is not None:
+            # MATERIALIZE (not just persist) before the delete step:
+            # decided's lineage includes the classify join over kept
+            # files the deletes will atomically swap out — a lost cached
+            # partition afterwards would recompute from deleted files
+            # (FileNotFoundException mid-write on a real cluster)
+            decided_path = lineage.stage_dir(out, rid, "decided")
+            decided.write.mode("overwrite").parquet(decided_path)
+            decided = spark.read.parquet(decided_path)
+        elif cfg.fused:
+            # three writes consume the frame; cache so parse runs once
             decided = decided.persist()
+            persisted = True
         if cfg.stop_on_error:
             n_issue = decided.where(F.col("action") == "issue").count()
             if n_issue:
@@ -242,7 +251,7 @@ def run_pipeline(
             ),
         )
         stats = obs.get
-        if cfg.fused or existing is not None:
+        if persisted:
             decided.unpersist()
         ck = lineage.commit_phase(
             out,

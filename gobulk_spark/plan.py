@@ -30,8 +30,14 @@ def rule_conditions(t: Thresholds) -> dict[str, Column]:
     """
     cap = F.col("scrubbed_caption")
     feats = H.feature_columns(cap)
-    wh_min = F.least("w", "h")
-    aspect = F.greatest("w", "h").cast("double") / F.greatest(wh_min, F.lit(1))
+    # least/greatest SKIP nulls (least(NULL, 100) = 100), but the pandas
+    # core fails closed on a null dimension — force null w/h to null
+    # results so coalesce(cond, True) fires on the SAME rule both sides
+    wh_null = F.col("w").isNull() | F.col("h").isNull()
+    wh_min = F.when(~wh_null, F.least("w", "h"))
+    aspect = F.when(
+        ~wh_null, F.greatest("w", "h").cast("double") / F.greatest(wh_min, F.lit(1))
+    )
     return {
         "caption_missing": H.is_blank(cap),
         "too_short_chars": feats["n_chars"] < t.min_chars,

@@ -83,10 +83,12 @@ class MemoryKeptSink:
 
     def existing_ids(self, spark: SparkSession, exclude_run_id: str) -> DataFrame | None:
         frames = [df for rid, df in self.runs.items() if rid != exclude_run_id]
-        if not frames:
+        # a prior run that kept ZERO rows leaves an empty frame —
+        # createDataFrame cannot infer a schema from it
+        if not frames or all(f.empty for f in frames):
             return None
         ids = pd.concat(frames)["image_id"].drop_duplicates()
-        return spark.createDataFrame(ids.to_frame())
+        return spark.createDataFrame(ids.to_frame(), schema="image_id string")
 
     def write(self, df: DataFrame, run_id: str) -> None:
         self.runs[run_id] = df.toPandas()
@@ -99,7 +101,7 @@ class MemoryKeptSink:
                 self.runs[rid] = f[~f["image_id"].isin(drop)].reset_index(drop=True)
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        if not self.runs:
+        frames = [df.assign(run=rid) for rid, df in self.runs.items() if not df.empty]
+        if not frames:
             return None
-        frames = [df.assign(run=rid) for rid, df in self.runs.items()]
         return spark.createDataFrame(pd.concat(frames, ignore_index=True))

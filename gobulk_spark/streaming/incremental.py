@@ -82,13 +82,15 @@ def _process_microbatch(
     existing = sink.existing_ids(spark, exclude_run_id=rid)
     decided = executor.classify_actions(decided, existing)
     if existing is not None:
-        decided = decided.persist()
+        # materialize before deletes mutate the files decided's lineage
+        # reads (see pipeline.py store phase)
+        decided_path = lineage.stage_dir(out, rid, "decided")
+        decided.write.mode("overwrite").parquet(decided_path)
+        decided = spark.read.parquet(decided_path)
         executor.execute_deletes(spark, sink, rid, decided)
     sink.write(executor.kept_rows(decided, KEPT_COLUMNS), rid)
     lineage.write_audit(executor.store_audit_columns(decided, rid), out, "store", rid)
     lineage.write_metrics(lineage.partition_metrics(decided, rid), out, "store", rid)
-    if existing is not None:
-        decided.unpersist()
 
 
 def run_streaming_ingest(

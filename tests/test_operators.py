@@ -316,3 +316,21 @@ def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
     l2 = spark.createDataFrame(pd.DataFrame({"k": [1, 999], "v": [0, 1]}))
     lj = salted_join(l2, r, "k", n_salts=4, how="left").toPandas()
     assert len(lj) == 2 and lj.loc[lj.k == 999, "name"].isna().all()
+
+
+def test_asof_join_snapshot_is_atomic(spark):
+    """A null attribute in the LATEST right row must not be backfilled
+    from an OLDER right row — the carried snapshot is one struct, not
+    per-column last(ignorenulls)."""
+    from gobulk_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(pd.DataFrame({"k": ["a"], "t": [12], "id": [1]}))
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a", "a"], "t": [5, 10],
+             "eid": [7, None], "price": [1.0, 2.0]}
+        )
+    )
+    out = asof_join(left, right, by="k", ts_col="t", right_cols=("eid", "price")).toPandas()
+    assert out.iloc[0]["asof_price"] == 2.0
+    assert pd.isna(out.iloc[0]["asof_eid"])  # NOT 7 stitched from t=5

@@ -38,6 +38,10 @@ CASES = [
     ("nan_brightness", CLEAN, {"brightness": None}, "image_bad_exposure"),
     ("nan_entropy", CLEAN, {"pix_entropy": None}, "image_flat"),
     ("nan_decoded_w", CLEAN, {"decoded_w": None}, "image_meta_mismatch"),
+    # least/greatest SKIP nulls on the Spark side — a single null
+    # dimension must still fire image_too_small on BOTH engines
+    ("nan_w", CLEAN, {"w": None}, "image_too_small"),
+    ("nan_h", CLEAN, {"h": None}, "image_too_small"),
     # 3VL: null conjunct + definitely-false other conjunct = no fire.
     # SHORT has 3 words (< word_rep_min_words=5, < stopword_min_words=10)
     ("nan_word_freq_short", SHORT, {"max_word_freq_ratio": None}, None),

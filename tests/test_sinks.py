@@ -87,3 +87,16 @@ def test_parquet_and_memory_sinks_agree(spark):
     ka = a.sort_values("image_id")[["image_id", "caption", "lang"]].reset_index(drop=True)
     kb = b.sort_values("image_id")[["image_id", "caption", "lang"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(ka, kb)
+
+
+def test_memory_sink_survives_all_dropped_prior_run(spark):
+    """A prior run that kept ZERO rows must not crash existing_ids /
+    read (createDataFrame cannot infer a schema from an empty frame)."""
+    import pandas as _pd
+
+    from gobulk_spark.sinks import MemoryKeptSink
+
+    sink = MemoryKeptSink()
+    sink.runs["r0"] = _pd.DataFrame(columns=["image_id", "caption", "lang"])
+    assert sink.existing_ids(spark, exclude_run_id="r1") is None
+    assert sink.read(spark) is None

@@ -226,3 +226,15 @@ def test_merge_entities_order():
         "a": "1",
         "b": "3",
     }
+
+
+def test_lenient_xml_preserves_predefined_entities():
+    """strict=False strips UNKNOWN entities only — the five predefined
+    XML entities are expanded by the parser and must survive."""
+    doc = b"<doc><x>1 &lt; 2 &amp; 3 &nosuch; ok</x></doc>"
+    out = codecs.decode_xml_batch(
+        pd.DataFrame({"doc_id": ["d"], "bytes": [doc]}), strict=False
+    )
+    r = out.iloc[0]
+    assert r.decode_ok
+    assert r.fields["x"] == "1 < 2 & 3  ok"  # predefined kept, unknown gone

@@ -164,3 +164,39 @@ def test_store_retry_after_delete_step_converges(two_runs):
     rows = kept_after[kept_after.image_id == upd_id]
     assert len(rows) == 1 and rows.iloc[0]["caption"] == GOOD_CAPTION
     assert del_id not in set(kept_after.image_id)
+
+
+def test_content_revert_reenters_pipeline(spark):
+    """A doc whose content REVERTS to a previously-seen hash must be
+    reprocessed: the marker keys on the LATEST hash per id, not on
+    all-history (id, hash) pairs — otherwise the r1 audit pair masks
+    the revert and the kept store stays stale forever."""
+    base = "/tmp/gobulk_spark_test_out/revert"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    from gobulk_spark.corpus import SEED_TEXT
+
+    pdf = generate_pairs(300, seed=31)[0].to_pandas()
+    out = os.path.join(base, "out")
+    src1 = _write(pdf, os.path.join(base, "v1.parquet"))
+    run_pipeline(spark, PipelineConfig(source_path=src1, out_dir=out, run_id="r1"))
+    kept1 = lineage.read_kept(spark, out).toPandas()
+    rid = sorted(kept1.image_id)[1]
+    original = pdf.loc[pdf.image_id == rid, "caption"].iloc[0]
+
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2.image_id == rid, "caption"] = SEED_TEXT["en"][0] + " " + SEED_TEXT["en"][1]
+    src2 = _write(pdf2, os.path.join(base, "v2.parquet"))
+    run_pipeline(spark, PipelineConfig(source_path=src2, out_dir=out, run_id="r2", incremental=True))
+
+    # revert to the ORIGINAL content (hash already present in r1 audit)
+    src3 = _write(pdf, os.path.join(base, "v3.parquet"))
+    run_pipeline(spark, PipelineConfig(source_path=src3, out_dir=out, run_id="r3", incremental=True))
+    kept3 = lineage.read_kept(spark, out).toPandas()
+    rows = kept3[kept3.image_id == rid]
+    assert len(rows) == 1
+    assert rows.iloc[0]["caption"] == original  # store reflects the revert
+    assert rows.iloc[0]["run"] == "r3"
+    audit = lineage.read_audit(spark, out).toPandas()
+    r3 = audit[(audit.run_id == "r3") & (audit.wphase == "store")]
+    assert set(r3.image_id) == {rid} and r3.iloc[0]["action"] == "update"
