@@ -319,6 +319,23 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per ship-year — a broadcast
+    dim join (part is small) + conditional aggregation, all codegen."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.year(F.col("l_shipdate").cast("timestamp")).alias("ship_year"))
+        .agg(
+            F.round(F.sum(promo) * 100.0 / F.sum(rev), 6).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
 def q_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -556,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_rollup": q_metrics_rollup,
         "hourly_event_windows": q_hourly_event_windows,
         "tpch_q1_pricing": q_tpch_q1_pricing,
+        "promo_revenue": q_promo_revenue,
         "top_suppliers_per_nation": q_top_suppliers_per_nation,
         "dedup_survivors": q_dedup_survivors,
         "sessionization": q_sessionization,
@@ -757,6 +775,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "promo_revenue": """
+            SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+                   round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END) * 100.0
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
         """,
         "top_suppliers_per_nation": """
             SELECT n_name, s_name, round(s_acctbal, 2) AS acctbal, rk
