@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 
 from .functions import textstats
-from .functions.imaging import PngError, decode_png
+from .functions.imaging import PngError, decode_image
 from .functions.scrub import scrub_captions
 from .models import langid, perplexity
 from .rules import DEFAULT_THRESHOLDS, Thresholds, decide, toxicity_hits
@@ -81,7 +81,7 @@ def decode_batch(bytes_col: pd.Series) -> pd.DataFrame:
     ws, hs, means, brights, ents, edges, oks, notes = [], [], [], [], [], [], [], []
     for b in bytes_col:
         try:
-            arr = decode_png(b)
+            arr = decode_image(b)  # magic dispatch: PNG or DCQ1 (lossy)
             hs.append(arr.shape[0])
             ws.append(arr.shape[1])
             means.append(float(arr.mean()))
