@@ -150,6 +150,19 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE-ish piece counts (LLM token-budget unit) alongside
+    whitespace tokens — JVM regexp_extract_all, no Python."""
+    from gobulk_spark.operators.text import bpe_piece_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_piece_count(F.col("text")).cast("long").alias("n_bpe_pieces"),
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by md5 fingerprint per source (K1 analogue)."""
     d = _t(spark, sf_dir, "documents")
@@ -560,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rule_filter": q_quality_rule_filter,
         "language_distribution": q_language_distribution,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "fingerprint_dedup": q_fingerprint_dedup,
         "stopword_density": q_stopword_density,
         "max_token_freq": q_max_token_freq,
@@ -632,6 +646,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
                    CAST(len(list_distinct(string_split_regex(trim(text), ' +'))) AS BIGINT) AS n_distinct_tokens
+            FROM documents
+        """,
+        "bpe_token_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS BIGINT)
+                        AS n_bpe_pieces,
+                   CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_ws_tokens
             FROM documents
         """,
         "fingerprint_dedup": """

@@ -38,6 +38,20 @@ def stopword_density(text: Column, stopwords: tuple[str, ...]) -> Column:
     return hits / F.greatest(F.size(toks), F.lit(1))
 
 
+#: BPE-style pre-tokenizer pattern (the GPT-2 family's split shape,
+#: restricted to ASCII classes so Java regex and DuckDB RE2 agree
+#: token-for-token): a piece is an optional leading space + a letter
+#: run, digit run, or punctuation run; whitespace runs stand alone.
+BPE_PIECE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_piece_count(text: Column) -> Column:
+    """Number of BPE-ish pre-tokenizer pieces — the unit LLM token
+    budgets are measured in (before merges; merges only shrink it, so
+    this is a stable upper bound ~1.3x real BPE tokens on English)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PIECE_PATTERN), 0))
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint (md5 of normalized text)."""
     return F.md5(F.lower(F.trim(text)))
