@@ -54,6 +54,11 @@ HEADLINE = (
     "metrics_rollup",
     "tpch_q1_pricing",
     "marker_anti_join",
+    # round-2 operators
+    "asof_join_purchase_view",
+    "tfidf_top_terms",
+    "salted_join_revenue",
+    "winnow_overlap_pairs",
 )
 
 # (master, taskset cpu list) — 2N CPUs per N-task leg, see module doc
