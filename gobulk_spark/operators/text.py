@@ -159,9 +159,24 @@ def winnow_fingerprints(
 
         np.seterr(over="ignore")  # worker-local; 2^64 wrap IS the modulus
         B = np.uint64(1000003)  # Karp-Rabin base (odd, large)
+        inv = np.uint64(pow(int(B), -1, 1 << 64))
+        # power tables computed ONCE per batch for the longest doc and
+        # sliced per doc (was per-doc cumprods — the dominant cost)
+        encoded = [t.lower().encode("utf-8", "ignore") for t in texts.fillna("")]
+        max_len = max((len(e) for e in encoded), default=0)
+        one = np.ones(1, dtype=np.uint64)
+        if max_len > 1:
+            powers_all = np.concatenate(
+                [one, np.cumprod(np.full(max_len - 1, B, dtype=np.uint64))]
+            )
+            invpow_all = np.concatenate(
+                [one, np.cumprod(np.full(max_len - 1, inv, dtype=np.uint64))]
+            )
+        else:
+            powers_all = invpow_all = one
         out = []
-        for t in texts.fillna(""):
-            b = np.frombuffer(t.lower().encode("utf-8", "ignore"), dtype=np.uint8)
+        for raw in encoded:
+            b = np.frombuffer(raw, dtype=np.uint8)
             n = len(b) - k + 1
             if n <= 0:
                 out.append([])
@@ -170,14 +185,8 @@ def winnow_fingerprints(
             # h[i] = sum b[i+j] * B^(k-1-j); computed from prefix sums
             # of b[j] * B^{-j} scaled back — uint64 wrap-around is the
             # modulus (2^64), multiplicative inverses exist for odd B
-            one = np.ones(1, dtype=np.uint64)
-            powers = np.concatenate(
-                [one, np.cumprod(np.full(len(b) - 1, B, dtype=np.uint64))]
-            )
-            inv = np.uint64(pow(int(B), -1, 1 << 64))
-            invpow = np.concatenate(
-                [one, np.cumprod(np.full(len(b) - 1, inv, dtype=np.uint64))]
-            )
+            powers = powers_all[: len(b)]
+            invpow = invpow_all[: len(b)]
             scaled = b.astype(np.uint64) * invpow  # b[j] * B^-j
             csum = np.cumsum(scaled, dtype=np.uint64)
             seg = csum[k - 1 :].copy()
