@@ -275,10 +275,18 @@ def recover_kept_swaps(spark: SparkSession, out_dir: str) -> list[str]:
     root = kept_dir(out_dir)
     healed = []
     for name in fs.listdir(root):
-        if name.startswith(".run=") and ".bak-" in name:
+        if name.startswith(".run=") and ".bak-" in name:  # run-level swap
             dst_name = name[1:].split(".bak-")[0]
             fs.recover_replace_dir(_join(root, dst_name), _join(root, name))
             healed.append(name)
+        elif name.startswith("run="):  # partition-level swaps inside a run
+            for sub in fs.listdir(_join(root, name)):
+                if sub.startswith(".lang=") and ".bak-" in sub:
+                    dst_name = sub[1:].split(".bak-")[0]
+                    fs.recover_replace_dir(
+                        _join(root, name, dst_name), _join(root, name, sub)
+                    )
+                    healed.append(f"{name}/{sub}")
     return healed
 
 
@@ -290,41 +298,42 @@ def delete_keys_from_prior_runs(
 
     gobulk executes Deletes before Updates and Creates
     (executor.go:96-113); here a Delete is a rewrite of each affected
-    run=X directory minus the keys, staged then atomically swapped
-    (fsutil.replace_dir). The rewrite is idempotent — re-deleting an
-    absent key is a no-op — so a crashed store phase can simply re-run.
+    (run=X, lang=Y) LEAF partition minus the keys, staged then
+    atomically swapped (fsutil.replace_dir). The rewrite is idempotent
+    — re-deleting an absent key is a no-op — so a crashed store phase
+    can simply re-run.
 
     Scale note: with an Iceberg/Delta kept table this whole function is
     one MERGE/DELETE snapshot commit with file-level pruning; the
-    directory rewrite is the parquet-dir equivalent, bounded by the
-    number of affected *runs*, not table size, and each rewrite prunes
-    to dirs that actually contain affected ids.
+    partition rewrite is the parquet-dir equivalent. Pruning to the
+    affected (run, lang) pairs — not whole runs — bounds the rewritten
+    bytes by the partitions that actually hold affected ids (a 1-id
+    update in one language rewrites one leaf dir, never a whole run).
     """
     kept = read_kept(spark, out_dir)
     if kept is None:
         return []
     fs = Fs(spark, out_dir)
     keys = keys.select("image_id").distinct()
-    affected_runs = [
-        r["run"]
+    affected = sorted(
+        (r["run"], r["lang"])
         for r in kept.join(F.broadcast(keys), "image_id", "left_semi")
         .where(F.col("run") != run_id)
-        .select("run")
+        .select("run", "lang")
         .distinct()
         .collect()
-    ]
+    )
     rewritten = []
-    for prior in sorted(affected_runs):
-        dst = _join(kept_dir(out_dir), f"run={prior}")
-        staged = stage_dir(out_dir, run_id, f"rewrite/run={prior}")
-        backup = _join(kept_dir(out_dir), f".run={prior}.bak-{run_id}")
+    for prior, lang in affected:
+        dst = _join(kept_dir(out_dir), f"run={prior}", f"lang={lang}")
+        staged = stage_dir(out_dir, run_id, f"rewrite/run={prior}/lang={lang}")
+        backup = _join(kept_dir(out_dir), f"run={prior}", f".lang={lang}.bak-{run_id}")
         # heal any half-finished swap from a crashed earlier attempt
         fs.recover_replace_dir(dst, backup)
         (
-            spark.read.parquet(dst)
+            spark.read.parquet(dst)  # leaf dir: run/lang are path keys
             .join(F.broadcast(keys), "image_id", "left_anti")
             .write.mode("overwrite")
-            .partitionBy("lang")
             .parquet(staged)
         )
         fs.replace_dir(staged, dst, backup)

@@ -144,6 +144,58 @@ def test_mid_swap_crash_is_healed_before_reads(two_runs):
     assert not os.path.exists(bak)
 
 
+def test_partition_level_swap_crash_is_healed(two_runs):
+    """Delete rewrites prune to (run, lang) LEAF partitions; a crash
+    between the leaf swap's renames strands .lang=Y.bak-* inside the
+    run dir and recovery must heal it before any read."""
+    spark, out, kept1, upd_id, del_id = two_runs
+    kept_before = lineage.read_kept(spark, out).toPandas()
+    run_dir = os.path.join(out, "kept", "run=r1")
+    lang = next(e.split("=")[1] for e in os.listdir(run_dir) if e.startswith("lang="))
+    bak = os.path.join(run_dir, f".lang={lang}.bak-r2")
+    os.rename(os.path.join(run_dir, f"lang={lang}"), bak)
+    os.remove(os.path.join(out, "_checkpoint", "r2", "store.json"))
+    run_pipeline(
+        spark,
+        PipelineConfig(
+            source_path=os.path.join(BASE, "src2.parquet"),
+            out_dir=out,
+            run_id="r2",
+            incremental=True,
+        ),
+    )
+    kept_after = lineage.read_kept(spark, out).toPandas()
+    assert sorted(kept_after["image_id"]) == sorted(kept_before["image_id"])
+    assert not os.path.exists(bak)
+
+
+def test_delete_rewrite_prunes_to_affected_partitions(two_runs):
+    """The r2 delete step must leave UNAFFECTED (run, lang) leaf dirs
+    byte-untouched (their files keep r1's mtimes/names) — proof the
+    rewrite pruned below run level."""
+    spark, out, kept1, upd_id, del_id = two_runs
+    audit = lineage.read_audit(spark, out).toPandas()
+    r2 = audit[(audit.run_id == "r2") & (audit.wphase == "store")]
+    touched_ids = set(r2.image_id)
+    affected_langs = set(
+        kept1.loc[kept1.image_id.isin(touched_ids), "lang"]
+        if "lang" in kept1.columns
+        else []
+    )
+    run_dir = os.path.join(out, "kept", "run=r1")
+    untouched = [
+        e.split("=")[1]
+        for e in os.listdir(run_dir)
+        if e.startswith("lang=") and e.split("=")[1] not in affected_langs
+    ]
+    assert untouched, "precondition: some language partition was unaffected"
+    # staged rewrites exist only for affected langs
+    rewrite_dir = os.path.join(out, "_stage", "r2", "rewrite", "run=r1")
+    if os.path.isdir(rewrite_dir):
+        staged_langs = {e.split("=")[1] for e in os.listdir(rewrite_dir)}
+        assert staged_langs <= affected_langs
+
+
 def test_store_retry_after_delete_step_converges(two_runs):
     """Crash after the D step, retry: end state identical (idempotent
     execution; audit label may downgrade update->create by design)."""
