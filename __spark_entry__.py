@@ -23,25 +23,16 @@ if _REPO not in sys.path:  # driver-side import works from any cwd
 
 STOPLIST = ("the", "a")
 
-_PKG_SHIPPED: set[str] = set()
-
-
 def _ship_package(spark: SparkSession) -> None:
     """Make gobulk_spark importable on executor Python workers.
 
-    UDF closures reference module globals by name (e.g. the LSH
-    hyperplane helper), so workers must import the package; addPyFile
-    distributes a zip and extends the worker sys.path regardless of the
-    harness's cwd/PYTHONPATH.
+    Delegates to gobulk_spark.deploy.ship (content-hash-named zip,
+    idempotent per application, no-op under spark-submit --py-files) —
+    ONE shipping implementation, not three.
     """
-    key = spark.sparkContext.applicationId
-    if key in _PKG_SHIPPED:
-        return
-    from jobs.package import build
+    from gobulk_spark.deploy import ship
 
-    zip_path = build(os.path.join("/tmp", "gobulk_spark_pyfiles", "gobulk_spark.zip"))
-    spark.sparkContext.addPyFile(zip_path)
-    _PKG_SHIPPED.add(key)
+    ship(spark)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

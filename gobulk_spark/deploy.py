@@ -46,9 +46,12 @@ def ship(spark: SparkSession) -> None:
             if f.endswith(".py"):
                 full = os.path.join(root, f)
                 payload.append((full, os.path.relpath(full, os.path.dirname(pkg_dir))))
-    digest = hashlib.md5(
-        b"".join(open(p, "rb").read() for p, _ in payload)
-    ).hexdigest()[:10]
+    h = hashlib.md5()
+    for full, rel in payload:  # path + content: renames change the digest
+        h.update(rel.encode())
+        h.update(b"\0")
+        h.update(open(full, "rb").read())
+    digest = h.hexdigest()[:10]
     out_dir = "/tmp/gobulk_spark_pyfiles"
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"gobulk_spark-{digest}.zip")

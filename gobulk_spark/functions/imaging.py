@@ -233,8 +233,11 @@ def decode_dctq(data: bytes) -> np.ndarray:
         raise PngError("bad DCQ1 signature")
     try:
         h, w, quality = struct.unpack("<IIB", data[4:13])
+        # ValueError covers an odd byte count out of zlib (frombuffer
+        # refuses non-multiple-of-2) — every malformed payload must
+        # surface as PngError so issue routing stays uniform
         flat = np.frombuffer(zlib.decompress(data[13:]), dtype=np.int16)
-    except (struct.error, zlib.error) as e:
+    except (struct.error, zlib.error, ValueError) as e:
         raise PngError(f"bad DCQ1 payload: {e}") from e
     hh, ww = h + (-h % 8), w + (-w % 8)
     n_blocks = (hh // 8) * (ww // 8)

@@ -222,9 +222,15 @@ def processed_keys(
     # REVERTS to a previously-seen hash must re-enter (the historical
     # (id, old_hash) pair would otherwise mask the revert and leave the
     # kept store stale forever — gobulk re-tracks per iteration).
-    # created is query-constant per write, so max_by orders runs.
+    # created is query-constant per write, so max_by orders runs; the
+    # (created, content_hash) struct breaks SAME-WRITE ties
+    # deterministically (a source carrying duplicate ids with differing
+    # content — a data-contract violation — churns ONE sibling per run
+    # instead of flapping arbitrarily).
     return audit.groupBy("image_id").agg(
-        F.expr("max_by(content_hash, created)").alias("content_hash")
+        F.expr("max_by(content_hash, struct(created, content_hash))").alias(
+            "content_hash"
+        )
     )
 
 

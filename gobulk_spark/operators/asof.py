@@ -73,7 +73,9 @@ def asof_join(
     # right (_side=0) sorts before left (_side=1) at equal ts -> ties match
     order = [F.col(ts_col), F.col("_side")]
     if tie_break is not None:
-        order.append(F.col("_r").getField(tie_break).asc_nulls_last())
+        # nulls FIRST so a null tie-break row loses: last() then picks
+        # the highest non-null value, as documented
+        order.append(F.col("_r").getField(tie_break).asc_nulls_first())
     w = (
         Window.partitionBy(by)
         .orderBy(*order)

@@ -98,9 +98,10 @@ def run_pipeline(
         t0 = time.time()
         src = src_scan.with_content_hash(src_scan.read_source(spark, cfg.source_path))
         if cfg.incremental:
-            # marker keys on (image_id, content_hash): a re-scanned id
-            # with NEW content passes the anti-join and re-enters as an
-            # update/delete (gobulk tracker/gorm.go:441-449). Exclude
+            # marker keys on the LATEST content_hash per id: a
+            # re-scanned id with NEW (or reverted) content passes the
+            # anti-join and re-enters as an update/delete (gobulk
+            # tracker/gorm.go:441-449 re-tracks per iteration). Exclude
             # THIS run from the marker: a retried scan must see the same
             # input as the first attempt, not be masked by its own
             # half-committed audit (idempotency under crash-retry).
@@ -253,6 +254,13 @@ def run_pipeline(
         stats = obs.get
         if persisted:
             decided.unpersist()
+        if existing is not None:
+            # the staged decided snapshot served its purpose (stable
+            # input across the delete step); don't let one copy per run
+            # accumulate under _stage
+            from .fsutil import Fs
+
+            Fs(spark, out).delete(lineage.stage_dir(out, rid, "decided"))
         ck = lineage.commit_phase(
             out,
             rid,

@@ -50,8 +50,9 @@ def _process_microbatch(
     )
     # in-batch content dedup (cross-batch dedup = the marker/audit check)
     dups = src_scan.find_duplicates(src, carry=("source_file",))
-    # marker on (image_id, content_hash): changed content re-enters as an
-    # update. Exclude this epoch's own store audit: a foreachBatch retry
+    # marker on the LATEST content_hash per id: changed (or reverted)
+    # content re-enters as an update.
+    # Exclude this epoch's own store audit: a foreachBatch retry
     # of the same epoch must not be masked by its half-committed outputs.
     marker = lineage.processed_keys(
         spark, out, exclude_run_id=rid, exclude_phases=("store",)
@@ -91,6 +92,12 @@ def _process_microbatch(
     sink.write(executor.kept_rows(decided, KEPT_COLUMNS), rid)
     lineage.write_audit(executor.store_audit_columns(decided, rid), out, "store", rid)
     lineage.write_metrics(lineage.partition_metrics(decided, rid), out, "store", rid)
+    if existing is not None:
+        # one staged snapshot per EPOCH would grow without bound on a
+        # long-lived stream; drop it once the epoch's writes are done
+        from ..fsutil import Fs
+
+        Fs(spark, out).delete(lineage.stage_dir(out, rid, "decided"))
 
 
 def run_streaming_ingest(

@@ -13,13 +13,22 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# driver-side bootstrap: running from the repo without --py-files puts
+# jobs/ (not the repo root) on sys.path; deployed runs get the package
+# from the --py-files zip or deploy.ship()
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from pyspark.sql import SparkSession
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--source", required=True)
+    ap.add_argument("--source")  # required unless --pause/--unpause
     ap.add_argument("--out", required=True)
     ap.add_argument("--run-id", default="run-1")
     ap.add_argument("--incremental", action="store_true")
@@ -44,6 +53,9 @@ def main() -> None:
 
     from gobulk_spark import lineage
     from gobulk_spark.config import PipelineConfig
+
+    if not (args.pause or args.unpause) and not args.source:
+        ap.error("--source is required unless --pause/--unpause")
 
     if args.pause or args.unpause:
         (lineage.request_pause if args.pause else lineage.clear_pause)(args.out, spark)

@@ -334,3 +334,19 @@ def test_asof_join_snapshot_is_atomic(spark):
     out = asof_join(left, right, by="k", ts_col="t", right_cols=("eid", "price")).toPandas()
     assert out.iloc[0]["asof_price"] == 2.0
     assert pd.isna(out.iloc[0]["asof_eid"])  # NOT 7 stitched from t=5
+
+
+def test_asof_tie_break_null_loses(spark):
+    """At equal timestamps a right row with a NULL tie-break field must
+    lose to the highest non-null one (nulls_first ordering; note pandas
+    NaN is a DOUBLE that Spark sorts GREATEST — use SQL nulls)."""
+    from gobulk_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("a", 9, 1)], schema="k string, t int, id int")
+    right = spark.createDataFrame(
+        [("a", 5, 3), ("a", 5, None), ("a", 5, 7)], schema="k string, t int, eid int"
+    )
+    out = asof_join(
+        left, right, by="k", ts_col="t", right_cols=("eid",), tie_break="eid"
+    ).collect()[0]
+    assert out["asof_eid"] == 7
