@@ -115,11 +115,16 @@ def time_queries(sf_dir: str, cpus: str) -> dict[str, float]:
     qs["language_distribution"](spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
+    from gobulk_spark.operators.dedup import release_pins
+
     out: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         out[name] = round(time.time() - t0, 3)
+        # pinned intermediates served their query; disk-spilled blocks
+        # are not LRU-reclaimed, so a long query sequence must release
+        release_pins()
     spark.stop()
     return out
 

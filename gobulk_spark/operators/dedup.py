@@ -18,11 +18,18 @@ bit-for-bit: h_i(s) = md5(i || '|' || s), minimized as hex strings
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint, shingles
+
+#: every frame pin() persisted and nobody released yet. Weak refs: a
+#: frame the caller dropped can be GC'd (py4j unpersists on finalize);
+#: the registry only has to cover frames still alive.
+_PINNED: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
 
 
 def pin(df: DataFrame) -> DataFrame:
@@ -34,9 +41,27 @@ def pin(df: DataFrame) -> DataFrame:
     once PER CONSUMER — the minhash candidates plan showed 4 parquet
     scans and 4x the min-md5 aggregation. At 10^12 rows that is the
     whole corpus scanned four times. MEMORY_AND_DISK so wide corpora
-    spill instead of failing; Spark evicts LRU, so pinned frames from
-    finished queries don't accumulate memory pressure."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    spill instead of failing. Memory blocks are LRU-evicted, but
+    DISK-spilled blocks live until unpersist — a long-lived session
+    running many similarity queries would accumulate unbounded block
+    store disk, so call release_pins() after each query's terminal
+    action (bench.py does)."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED.add(df)
+    return df
+
+
+def release_pins() -> int:
+    """Unpersist every still-alive pinned frame; returns how many.
+
+    Safe mid-plan: unpersist is lazy-consistent (a later action simply
+    recomputes), so callers run it after the consuming action."""
+    n = 0
+    for df in list(_PINNED):
+        df.unpersist()
+        _PINNED.discard(df)
+        n += 1
+    return n
 
 
 def exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

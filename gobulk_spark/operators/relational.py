@@ -36,6 +36,15 @@ def salted_join(
     ``salt_by`` (default: every left column), so retried tasks
     repartition identically — never rand().
     """
+    # the identity `salted == plain` holds only when unmatched RIGHT
+    # rows never surface: the right side is replicated once per salt, so
+    # right/full-outer would emit n_salts null-extended duplicates per
+    # unmatched right key
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "right/full joins would duplicate unmatched right keys per salt"
+        )
     salt_src = F.xxhash64(*(left.columns if salt_by is None else [salt_by]))
     l = left.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)).cast("int"))
     r = right.withColumn(

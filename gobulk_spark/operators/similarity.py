@@ -147,6 +147,8 @@ def fit_ivf_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not rows:  # empty table: no data to fit — random codebook keeps
+        return _ivf_centroids(dim, n_cells, seed)  # ann-over-empty total
     rng = np.random.default_rng(seed)
     m = np.stack([r[0] for r in rows]).astype(np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)

@@ -317,41 +317,84 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dups(
-    sig: DataFrame, id_col: str, max_hamming: int = 8, max_bucket_size: int | None = 64
-) -> DataFrame:
-    """Candidate near-dup pairs by simhash banding (4 bands x 16 bits).
+def simhash_band_plan(max_hamming: int) -> list[tuple[int, int]]:
+    """(bit_offset, width) per band, sized so pigeonhole GUARANTEES
+    recall at the radius: with b = max_hamming + 1 bands, any pair
+    within hamming ``max_hamming`` has at least one band with ZERO
+    differing bits — an exact band-key match. (Round-2's fixed 4x16
+    layout guaranteed only hamming <= 3 while the flagship query asked
+    for 16; bands must be sized to the radius, the same
+    sizing<->guarantee coupling as similarity.band_sizing.)
 
-    Two signatures within hamming distance 3 share at least one exact
-    16-bit band (pigeonhole); banding turns the quadratic all-pairs scan
-    into an equi-join per band — the LSH trick, shuffle on (band, key).
-    Over-full band buckets (> max_bucket_size members) are dropped: they
-    are non-discriminative and quadratic (hot-key guard).
+    The 64 bits spread as evenly as possible: (64 mod b) bands get one
+    extra bit. Cost model (document, don't hide): expected candidate
+    comparisons are n^2 * sum_b 2^-w_b — narrow bands (large radius)
+    degrade toward the quadratic scan, because a quarter of all bits
+    differing simply is not "near". Callers trading radius for cost at
+    10^12 rows should lower max_hamming, not raise the guard.
     """
-    # one pass, explode into 4 (band, band_key) rows — a 4-way unionAll
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    b = max_hamming + 1
+    base, extra = divmod(SIMHASH_BITS, b)
+    plan, off = [], 0
+    for i in range(b):
+        w = base + (1 if i < extra else 0)
+        plan.append((off, w))
+        off += w
+    return plan
+
+
+def _segment(col: Column, offset: int, width: int) -> Column:
+    return F.shiftrightunsigned(col, offset).bitwiseAND(F.lit((1 << width) - 1))
+
+
+def simhash_near_dups(
+    sig: DataFrame,
+    id_col: str,
+    max_hamming: int = 8,
+    max_bucket_size: int | str | None = "auto",
+) -> DataFrame:
+    """Near-dup pairs (id_a, id_b, hamming) by radius-sized simhash
+    banding: recall is 1.0 by pigeonhole (simhash_band_plan) before the
+    hot-bucket guard, verified by tests/test_simhash_recall.py against
+    the exact all-pairs scan at the flagship radius 16.
+
+    Banding turns the quadratic scan into an equi-join per band
+    (shuffle on (band, band_key)); the hamming filter runs MAP-SIDE on
+    the join output (JVM bit_count, codegen), so the distinct that
+    dedups pairs co-occurring in several bands shuffles only TRUE pairs
+    — at radius-16 band widths the join emits ~n^2 * sum 2^-w candidate
+    rows, and shuffling those through a distinct (the round-2 order)
+    would dominate the query.
+
+    The guard drops over-full buckets (non-discriminative, quadratic).
+    ``max_bucket_size="auto"`` sizes it at 8x the uniform expectation
+    n / 2^min_width so it only removes genuinely-hot keys, never the
+    typical bucket — a fixed guard under narrow bands silently zeroes
+    recall exactly like the embedding-LSH failure band_sizing() fixed
+    (measured recall 0.009 with fixed r). Pass an int to pin it, or
+    None to disable (exact recall, worst-case cost).
+    """
+    # one pass, explode into b (band, band_key) rows — a b-way unionAll
     # would re-evaluate the simhash UDF per branch; pinned because the
     # guard aggregation and both self-join sides each re-trigger the
     # upstream otherwise (dedup.pin rationale)
     from .dedup import pin
 
+    plan = simhash_band_plan(max_hamming)
     banded = sig.select(
         F.col(id_col),
         F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned("simhash", b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("band_key"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "simhash", "bk.band", "bk.band_key")
+        F.posexplode(
+            F.array(*[_segment(F.col("simhash"), off, w) for off, w in plan])
+        ).alias("band", "band_key"),
+    )
     banded = pin(banded)
+    if max_bucket_size == "auto":
+        n_rows = banded.count() // len(plan)
+        min_width = min(w for _, w in plan)
+        max_bucket_size = max(64, -(-8 * n_rows // (1 << min_width)))
     if max_bucket_size is not None:
         hot = (
             banded.groupBy("band", "band_key")
@@ -362,18 +405,19 @@ def simhash_near_dups(
         banded = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    xor = F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
+        .where(F.bit_count(xor) <= max_hamming)  # map-side, pre-distinct
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
         .distinct()
     )
-    return pairs.where(F.col("hamming") <= max_hamming)

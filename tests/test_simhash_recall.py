@@ -1,0 +1,131 @@
+"""Simhash near-dup recall at the flagship radius, vs the exact scan.
+
+Round-2 verdict: 4x16 banding guarantees recall only to hamming 3, but
+the driver query asks for max_hamming=16 — pairs at distance 4-16 were
+found only by luck. simhash_band_plan now sizes bands to the radius
+(pigeonhole: max_hamming+1 bands -> any qualifying pair has a clean
+band), and this suite measures recall against the exact all-pairs
+baseline on the same table the driver query runs (sf0.01 documents).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gobulk_spark.operators.text import (
+    SIMHASH_BITS,
+    simhash,
+    simhash_band_plan,
+    simhash_near_dups,
+)
+
+SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.01")
+DOCS = os.path.join(SF_DIR, "documents.parquet")
+
+
+def test_band_plan_covers_radius_and_all_bits():
+    for max_hamming in (0, 1, 3, 8, 16, 31, 63):
+        plan = simhash_band_plan(max_hamming)
+        assert len(plan) == max_hamming + 1
+        assert sum(w for _, w in plan) == SIMHASH_BITS
+        # contiguous, non-overlapping coverage of the 64 bits
+        off = 0
+        for o, w in plan:
+            assert o == off and w >= 1
+            off += w
+
+
+def test_band_plan_pigeonhole_property():
+    """Any pair within the radius agrees exactly on >=1 band (the
+    recall-guarantee mechanism, checked on random signatures)."""
+    rng = np.random.default_rng(7)
+    for max_hamming in (3, 8, 16):
+        plan = simhash_band_plan(max_hamming)
+        base = rng.integers(0, 2**63, size=200, dtype=np.int64)
+        for d in (1, max_hamming // 2, max_hamming):
+            flips = np.zeros_like(base)
+            for row in range(len(base)):
+                bits = rng.choice(64, size=d, replace=False)
+                for b in bits:
+                    flips[row] ^= np.int64(1) << np.int64(int(b))
+            other = base ^ flips
+            xor = (base ^ other).astype(np.uint64)
+            clean = np.zeros(len(base), dtype=bool)
+            for off, w in plan:
+                seg = (xor >> np.uint64(off)) & np.uint64((1 << w) - 1)
+                clean |= seg == 0
+            assert clean.all(), f"radius {max_hamming}, d={d}"
+
+
+def test_band_plan_rejects_out_of_range():
+    with pytest.raises(ValueError):
+        simhash_band_plan(64)
+    with pytest.raises(ValueError):
+        simhash_band_plan(-1)
+
+
+@pytest.mark.skipif(not os.path.exists(DOCS), reason="driver testdata absent")
+def test_recall_vs_exact_at_flagship_radius(spark):
+    """Operator recall >= 0.9 (and exact hamming correctness) at
+    max_hamming=16 on the driver's own table — the round-3 gate."""
+    docs = spark.read.parquet(DOCS).select("doc_id", "text")
+    sig = simhash(docs, "doc_id", "text").persist()
+    try:
+        l, r = sig.alias("l"), sig.alias("r")
+        ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+        exact = {
+            (row.id_a, row.id_b, row.hamming)
+            for row in (
+                l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+                .select(
+                    F.col("l.doc_id").alias("id_a"),
+                    F.col("r.doc_id").alias("id_b"),
+                    ham.alias("hamming"),
+                )
+                .where(F.col("hamming") <= 16)
+                .collect()
+            )
+        }
+        got = {
+            (row.id_a, row.id_b, row.hamming)
+            for row in simhash_near_dups(sig, "doc_id", max_hamming=16).collect()
+        }
+    finally:
+        sig.unpersist()
+    assert exact, "baseline found no pairs — corpus/radius mismatch"
+    # precision is 1.0 by construction (hamming computed from the true
+    # signatures); every emitted pair must be a true pair
+    assert got <= exact
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} over {len(exact)} true pairs"
+
+
+@pytest.mark.skipif(not os.path.exists(DOCS), reason="driver testdata absent")
+def test_guard_none_is_lossless_and_tight_radius_subsets(spark):
+    docs = spark.read.parquet(DOCS).select("doc_id", "text").limit(200)
+    sig = simhash(docs, "doc_id", "text").persist()
+    try:
+        unguarded = {
+            (row.id_a, row.id_b)
+            for row in simhash_near_dups(
+                sig, "doc_id", max_hamming=10, max_bucket_size=None
+            ).collect()
+        }
+        guarded = {
+            (row.id_a, row.id_b)
+            for row in simhash_near_dups(sig, "doc_id", max_hamming=10).collect()
+        }
+        tighter = {
+            (row.id_a, row.id_b)
+            for row in simhash_near_dups(
+                sig, "doc_id", max_hamming=4, max_bucket_size=None
+            ).collect()
+        }
+    finally:
+        sig.unpersist()
+    assert guarded <= unguarded
+    assert tighter <= unguarded
