@@ -79,6 +79,92 @@ def ensure_bench_corpus() -> str:
     return ensure_corpus(CORPUS_DIR, BENCH_ROWS, seed=42)
 
 
+N_SHARDS = 64
+SHARDED_DIR = os.path.join(REPO, ".bench_data", f"pairs{BENCH_ROWS}_sharded")
+
+
+def ensure_sharded_corpus() -> str:
+    """The bench corpus as N_SHARDS files — the multi-file source shape
+    the per-file change manifest prunes (a single-file corpus can never
+    demonstrate file-level pruning)."""
+    import pyarrow.parquet as pq
+
+    done = os.path.join(SHARDED_DIR, "_DONE")
+    if os.path.exists(done):
+        return SHARDED_DIR
+    shutil.rmtree(SHARDED_DIR, ignore_errors=True)
+    os.makedirs(SHARDED_DIR)
+    df = pq.read_table(ensure_bench_corpus()).to_pandas()
+    for s in range(N_SHARDS):
+        import pyarrow as pa
+
+        pq.write_table(
+            pa.Table.from_pandas(df.iloc[s::N_SHARDS], preserve_index=False),
+            os.path.join(SHARDED_DIR, f"part-{s:03d}.parquet"),
+        )
+    open(done, "w").write("ok")
+    return SHARDED_DIR
+
+
+def _mutate_shard(shard: int) -> None:
+    """Rewrite ONE shard with changed captions (same ids) — the 1/64
+    ≈ 1.6%-changed incremental workload."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = os.path.join(SHARDED_DIR, f"part-{shard:03d}.parquet")
+    df = pq.read_table(p).to_pandas()
+    df["caption"] = df["caption"] + " refreshed caption words for bench"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), p)
+
+
+def run_incremental_leg(master: str) -> dict:
+    """Full import, then a 1-shard-changed incremental run: evidence
+    that incremental cost is bounded by CHANGED data — the scan must
+    read ~1/N_SHARDS of the source bytes (manifest prune), not re-hash
+    the corpus (the round-2 scale weakness)."""
+    from gobulk_spark.config import PipelineConfig
+    from gobulk_spark.pipeline import run_pipeline
+    from gobulk_spark.session import get_spark
+
+    src = ensure_sharded_corpus()
+    # reset shard 0 in case a prior bench mutated it
+    shutil.rmtree(SHARDED_DIR, ignore_errors=True)
+    src = ensure_sharded_corpus()
+    out_dir = "/tmp/gobulk_bench_out/incremental"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark = get_spark(master, app_name="gobulk-incremental", extra_conf=LEG_CONF)
+    t0 = time.time()
+    run_pipeline(
+        spark, PipelineConfig(source_path=src, out_dir=out_dir, run_id="base")
+    )
+    full_wall = time.time() - t0
+    _mutate_shard(0)
+    t0 = time.time()
+    s = run_pipeline(
+        spark,
+        PipelineConfig(
+            source_path=src, out_dir=out_dir, run_id="inc", incremental=True
+        ),
+    )
+    incr_wall = time.time() - t0
+    spark.stop()
+    scan = s["phases"]["scan"]
+    return {
+        "master": master,
+        "full_wall_s": round(full_wall, 2),
+        "incremental_wall_s": round(incr_wall, 2),
+        "rows_reimported": s["phases"]["store"]["rows_in"],
+        "source_files_total": scan["source_files_total"],
+        "source_files_scanned": scan["source_files_scanned"],
+        "source_bytes_total": scan["source_bytes_total"],
+        "source_bytes_scanned": scan["source_bytes_scanned"],
+        "scan_bytes_fraction": round(
+            scan["source_bytes_scanned"] / max(1, scan["source_bytes_total"]), 4
+        ),
+    }
+
+
 def _warm_page_cache(path: str) -> None:
     with open(path, "rb") as f:
         while f.read(1 << 26):
@@ -218,12 +304,16 @@ def _eff(t_n: float, t_4n: float) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-master", default=None)
+    ap.add_argument("--incremental-master", default=None)
     args = ap.parse_args()
 
     source = ensure_bench_corpus()
 
     if args.pipeline_master:  # subprocess leg: print its own JSON and exit
         print(json.dumps(run_pipeline_leg(args.pipeline_master, source)))
+        return
+    if args.incremental_master:
+        print(json.dumps(run_incremental_leg(args.incremental_master)))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -251,6 +341,26 @@ def main() -> None:
         except (IndexError, json.JSONDecodeError):
             legs[master] = {"master": master, "error": r.stderr[-500:]}
 
+    # incremental-economics leg: own subprocess on the full box
+    prefix = ["taskset", "-c", "0-31"] if shutil.which("taskset") else []
+    r = subprocess.run(
+        prefix
+        + [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--incremental-master",
+            "local[32]",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    try:
+        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+        incremental = json.loads(line)
+    except (IndexError, json.JSONDecodeError):
+        incremental = {"error": r.stderr[-500:]}
+
     l2, l8, l32 = legs["local[2]"], legs["local[8]"], legs["local[32]"]
     ok = all("compute_wall_s_min" in l for l in (l2, l8, l32))
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -265,6 +375,7 @@ def main() -> None:
             "source_bytes": os.path.getsize(source),
             "source_read_s_before_warm": first_read_s,
             "legs": legs,
+            "incremental": incremental,
             "scaling": {
                 "compute_n2_to_n8": _eff(
                     l2["compute_wall_s_min"], l8["compute_wall_s_min"]

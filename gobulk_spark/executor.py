@@ -79,14 +79,54 @@ def kept_rows(decided: DataFrame, columns: tuple[str, ...]) -> DataFrame:
     )
 
 
+def write_failure_audit(
+    spark: SparkSession, failures: list[dict], run_id: str
+) -> DataFrame:
+    """Audit issue rows for items a transactional sink could not land
+    after its retry budget (gobulk's per-item bulk-response issues,
+    output/elasticsearch.go:309-320). Small by construction (bounded by
+    the backend's failure count), built driver-side."""
+    rows = [
+        (
+            f["image_id"],
+            f.get("source_file"),
+            f.get("content_hash"),
+            f.get("payload"),
+            f"{f['error_msg']} (attempts={f.get('attempts')})",
+        )
+        for f in failures
+    ]
+    base = spark.createDataFrame(
+        rows,
+        "image_id string, source_file string, content_hash string, "
+        "payload string, error_msg string",
+    )
+    return lineage.audit_columns(
+        base,
+        run_id,
+        F.lit("execute"),
+        F.lit("issue"),
+        F.lit("sink_write_failed"),
+        F.lit("write_failed"),
+        F.lit("output_write"),
+        content_hash_col=F.col("content_hash"),
+        payload_col=F.col("payload"),
+        error_col=F.col("error_msg"),
+    )
+
+
 def store_audit_columns(decided: DataFrame, run_id: str) -> DataFrame:
     """Audit projection for the store phase, including issue payloads."""
     is_issue = F.col("action") == "issue"
     return lineage.audit_columns(
         decided,
         run_id,
+        # deletes MUTATE the kept store, so they audit as phase=execute
+        # like create/update (gobulk's executor runs them,
+        # executor.go:96-113); only omit — decided, nothing executed —
+        # stays phase=plan
         F.when(is_issue, "parse")
-        .when(F.col("action").isin("omit", "delete"), "plan")
+        .when(F.col("action") == "omit", "plan")
         .otherwise("execute"),
         F.col("action"),
         F.col("drop_reason"),

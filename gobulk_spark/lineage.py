@@ -116,6 +116,12 @@ def write_audit(df: DataFrame, out_dir: str, phase: str, run_id: str) -> None:
     )
 
 
+def audit_leaf(out_dir: str, phase: str, run_id: str) -> str:
+    """One (phase, run) audit partition dir — a partition-pruned read
+    (the scan phase's dup list doubles as parse's anti-join input)."""
+    return _join(audit_dir(out_dir), f"wphase={phase}", f"run={run_id}")
+
+
 def read_audit(spark: SparkSession, out_dir: str) -> DataFrame | None:
     fs = Fs(spark, out_dir)
     path = audit_dir(out_dir)
@@ -184,54 +190,139 @@ def partition_metrics(decided: DataFrame, run_id: str) -> DataFrame:
     )
 
 
-def processed_keys(
-    spark: SparkSession,
-    out_dir: str,
-    exclude_run_id: str | None = None,
-    exclude_phases: tuple[str, ...] | None = None,
+def marker_root(out_dir: str) -> str:
+    return _join(out_dir, "_marker")
+
+
+def _marker_latest(fs: Fs, out_dir: str) -> dict | None:
+    p = _join(marker_root(out_dir), "LATEST")
+    if not fs.exists(p):
+        return None
+    return json.loads(fs.read_text(p))
+
+
+def _legacy_marker(
+    spark: SparkSession, out_dir: str, exclude_run_id: str | None
 ) -> DataFrame | None:
-    """Marker for incremental runs: every (image_id, content_hash) pair
-    any prior run audited.
+    """Pre-snapshot marker: latest hash per id from the FULL audit log.
 
-    gobulk's dedup/track key is (IterationID, InputRepository,
-    InputIdentifier, ContentHash) (tracker/gorm.go:441-449): the SAME
-    identifier arriving with NEW content is not "already processed" —
-    it re-enters the pipeline and becomes an update. Keying the marker
-    on the pair preserves that re-import contract.
-
-    ``exclude_run_id`` drops the named run's own audit rows from the
-    marker (partition-pruned on the run=/wphase= directory keys). A
-    retried phase must see the same input as its first attempt, never be
-    masked by its own half-committed audit (idempotency under partial
-    failure). ``exclude_phases`` limits the exclusion to those phases of
-    the excluded run: the parse phase excludes only ("store",) so the
-    committed scan audit still subsumes the duplicate anti-join.
-
-    At warehouse scale this becomes an Iceberg incremental snapshot
-    read instead of a full-audit distinct.
+    Kept as the migration/bootstrap path for out_dirs written before the
+    compacted ``_marker`` table existed — O(total history) per call, the
+    round-2 scale weakness the snapshot replaces. created is
+    query-constant per write, so max_by orders runs; the (created,
+    content_hash) struct breaks SAME-WRITE ties deterministically.
     """
     audit = read_audit(spark, out_dir)
     if audit is None:
         return None
     if exclude_run_id is not None:
-        own = F.col("run") == exclude_run_id
-        if exclude_phases is not None:
-            own = own & F.col("wphase").isin(*exclude_phases)
-        audit = audit.where(~own)
-    # LATEST hash per id, not all-history pairs: a doc whose content
-    # REVERTS to a previously-seen hash must re-enter (the historical
-    # (id, old_hash) pair would otherwise mask the revert and leave the
-    # kept store stale forever — gobulk re-tracks per iteration).
-    # created is query-constant per write, so max_by orders runs; the
-    # (created, content_hash) struct breaks SAME-WRITE ties
-    # deterministically (a source carrying duplicate ids with differing
-    # content — a data-contract violation — churns ONE sibling per run
-    # instead of flapping arbitrarily).
+        audit = audit.where(F.col("run") != exclude_run_id)
     return audit.groupBy("image_id").agg(
         F.expr("max_by(content_hash, struct(created, content_hash))").alias(
             "content_hash"
         )
     )
+
+
+def processed_keys(
+    spark: SparkSession, out_dir: str, exclude_run_id: str | None = None
+) -> DataFrame | None:
+    """Marker for incremental runs: the LATEST (image_id, content_hash)
+    pair per id across committed runs — read from the compacted
+    ``_marker`` snapshot, O(ids) not O(audit history).
+
+    gobulk's dedup/track key is (IterationID, InputRepository,
+    InputIdentifier, ContentHash) (tracker/gorm.go:441-449): the SAME
+    identifier arriving with NEW content is not "already processed" —
+    it re-enters the pipeline and becomes an update. Keying the marker
+    on the pair (latest hash per id, never all-history pairs) preserves
+    both the re-import contract and the revert case: a doc whose
+    content reverts to a previously-seen hash must re-enter, or the
+    kept store stays stale forever.
+
+    ``exclude_run_id`` guarantees crash-retry idempotency: snapshots
+    advance only at store commit and each snapshot records the run that
+    produced it, so when the latest snapshot IS the excluded run's (a
+    torn run being retried), the read falls back to its recorded
+    predecessor — the retried phase sees exactly the first attempt's
+    input, never its own half-committed state. The audit table remains
+    the immutable log; it is consulted only for out_dirs predating the
+    snapshot layout (_legacy_marker).
+    """
+    fs = Fs(spark, out_dir)
+    latest = _marker_latest(fs, out_dir)
+    if latest is None:
+        return _legacy_marker(spark, out_dir, exclude_run_id)
+    if exclude_run_id is not None and latest["run_id"] == exclude_run_id:
+        prev = latest.get("prev_path")
+        if prev is None:
+            return None
+        return spark.read.parquet(_join(marker_root(out_dir), prev))
+    return spark.read.parquet(_join(marker_root(out_dir), latest["path"]))
+
+
+def advance_marker(
+    spark: SparkSession, out_dir: str, run_id: str, new_pairs: DataFrame
+) -> dict:
+    """Atomically advance the compacted marker with this run's pairs.
+
+    Merge = prior snapshot ∪ new pairs, latest-per-id with the new run
+    winning (and a deterministic (priority, content_hash) tie-break
+    within one run — duplicate ids with differing content, a
+    data-contract violation, churn one stable sibling instead of
+    flapping). The new snapshot lands in a fresh seq-named directory;
+    the LATEST pointer flip (write_text_atomic) is the commit point, so
+    readers see the old or new snapshot, never a torn one. Obsolete
+    snapshot dirs (everything but new + its predecessor) are GC'd after
+    the flip — the predecessor must outlive the flip because a retry of
+    THIS run reads it (processed_keys exclusion).
+
+    Idempotent under crash-retry: if the latest snapshot already
+    belongs to ``run_id`` (crash between advance and phase commit), the
+    merge base is its recorded predecessor, so re-advancing produces
+    identical content. At warehouse scale this whole function is one
+    Iceberg MERGE snapshot commit.
+    """
+    fs = Fs(spark, out_dir)
+    root = marker_root(out_dir)
+    latest = _marker_latest(fs, out_dir)
+    if latest is None:
+        seq, prev_name = 0, None
+        base = _legacy_marker(spark, out_dir, exclude_run_id=run_id)
+    elif latest["run_id"] == run_id:  # torn retry of this run
+        seq, prev_name = latest["seq"] + 1, latest.get("prev_path")
+        base = (
+            spark.read.parquet(_join(root, prev_name)) if prev_name else None
+        )
+    else:
+        seq, prev_name = latest["seq"] + 1, latest["path"]
+        base = spark.read.parquet(_join(root, prev_name))
+    new = new_pairs.select("image_id", "content_hash").withColumn(
+        "_prio", F.lit(1)
+    )
+    if base is not None:
+        new = base.select("image_id", "content_hash").withColumn(
+            "_prio", F.lit(0)
+        ).unionByName(new)
+    snap_name = f"snap-{seq:08d}-{run_id}"
+    merged = new.groupBy("image_id").agg(
+        F.expr("max_by(content_hash, struct(_prio, content_hash))").alias(
+            "content_hash"
+        )
+    )
+    merged.write.mode("overwrite").parquet(_join(root, snap_name))
+    manifest = {
+        "run_id": run_id,
+        "seq": seq,
+        "path": snap_name,
+        "prev_path": prev_name,
+    }
+    fs.write_text_atomic(_join(root, "LATEST"), json.dumps(manifest))
+    keep = {snap_name, prev_name, "LATEST"}
+    for name in fs.listdir(root):
+        if name.startswith("snap-") and name not in keep:
+            fs.delete(_join(root, name))
+    return manifest
 
 
 def prior_kept_ids(

@@ -32,6 +32,7 @@ from . import deploy, executor, lineage
 from .config import PipelineConfig
 from .plan import decision_columns
 from .sinks import KeptSink, ParquetKeptSink
+from .sources import manifest as src_manifest
 from .sources import scan as src_scan
 from .stages import PARSE_OUTPUT_SCHEMA, make_parse_stage
 
@@ -47,6 +48,15 @@ KEPT_COLUMNS = (
     "lang",
     "lang_conf",
     "ppl",
+)
+
+#: declared kept-store schema — deep-diffed against the live store
+#: before any write (gobulk validates its output schema on setup,
+#: output/elasticsearch.go:153-158, output/mysql.go:48-76)
+KEPT_SCHEMA_DDL = (
+    "image_id string, source_file string, content_hash string, "
+    "w int, h int, fmt string, phash bigint, caption string, "
+    "lang string, lang_conf double, ppl double"
 )
 
 
@@ -89,48 +99,70 @@ def run_pipeline(
             return summary
         return None
 
-    # ---------------- phase: scan (discover, marker, dedup) ----------------
-    dups_path = lineage.stage_dir(out, rid, "dups")
+    # ---------------- phase: scan (discover, prune, marker, dedup) ---------
+    # the run's FROZEN file set: listed once through the Hadoop FS
+    # (driver-side, gobulk's S3-list cost) and staged, so scan, parse
+    # and any crash-retry see the identical files even if the source
+    # mutates mid-run. Incremental runs prune files whose (length,
+    # mtime) match the last committed manifest BEFORE any byte is read
+    # — the content-hash md5 then runs only over changed data (gobulk
+    # takes ContentHash from the listing ETag, input/s3.go:203-205;
+    # round 2 re-hashed the whole corpus every sweep).
+    scan_set = src_manifest.run_scan_set(spark, out, rid, cfg.source_path)
+
+    def _source_frame() -> DataFrame:
+        if cfg.incremental:
+            src = src_manifest.read_changed_files(
+                spark, cfg.source_path, scan_set["changed"]
+            )
+        else:
+            src = src_scan.read_source(spark, cfg.source_path)
+        return src_scan.with_content_hash(src)
+
+    scan_audit_path = lineage.audit_leaf(out, "scan", rid)
     ck = cfg.resume and lineage.phase_committed(out, rid, "scan")
     if not ck:
         if (p := _pause_check("scan")) is not None:
             return p
         t0 = time.time()
-        src = src_scan.with_content_hash(src_scan.read_source(spark, cfg.source_path))
+        src = _source_frame()
         if cfg.incremental:
             # marker keys on the LATEST content_hash per id: a
             # re-scanned id with NEW (or reverted) content passes the
             # anti-join and re-enters as an update/delete (gobulk
-            # tracker/gorm.go:441-449 re-tracks per iteration). Exclude
-            # THIS run from the marker: a retried scan must see the same
-            # input as the first attempt, not be masked by its own
-            # half-committed audit (idempotency under crash-retry).
+            # tracker/gorm.go:441-449 re-tracks per iteration). The
+            # compacted-snapshot marker advances only at store commit
+            # and excludes THIS run's torn snapshot, so a retried scan
+            # sees the same input as the first attempt.
             marker = lineage.processed_keys(spark, out, exclude_run_id=rid)
             if marker is not None:
                 src = src.join(marker, ["image_id", "content_hash"], "left_anti")
         # narrow-projection dedup: Catalyst prunes the scan to 3 columns;
-        # source_file rides along so the audit needs no join back
-        src_scan.find_duplicates(src, carry=("source_file",)).write.mode(
-            "overwrite"
-        ).parquet(dups_path)
-        dups = spark.read.parquet(dups_path)
-        n_dups = dups.count()
-        lineage.write_audit(
-            lineage.audit_columns(
-                dups,
-                rid,
-                F.lit("scan"),
-                F.lit("omit"),
-                F.lit("dedup_content_hash"),
-                F.lit("duplicate"),
-                F.lit(None).cast("string"),
-                content_hash_col=F.col("content_hash"),
-            ),
-            out,
-            "scan",
+        # source_file rides along so the audit needs no join back. The
+        # audit write IS the dup list (parse anti-joins the committed
+        # scan-audit partition) — no separate staging write, and n_dups
+        # rides the write as an observation: one job for the phase.
+        dups_audit = lineage.audit_columns(
+            src_scan.find_duplicates(src, carry=("source_file",)),
             rid,
+            F.lit("scan"),
+            F.lit("omit"),
+            F.lit("dedup_content_hash"),
+            F.lit("duplicate"),
+            F.lit(None).cast("string"),
+            content_hash_col=F.col("content_hash"),
         )
-        ck = lineage.commit_phase(out, rid, "scan", n_dups=n_dups, wall_s=time.time() - t0)
+        obs = Observation(f"scan-{rid}")
+        dups_audit = dups_audit.observe(obs, F.count(F.lit(1)).alias("n_dups"))
+        lineage.write_audit(dups_audit, out, "scan", rid)
+        ck = lineage.commit_phase(
+            out,
+            rid,
+            "scan",
+            n_dups=obs.get["n_dups"],
+            wall_s=time.time() - t0,
+            **scan_set["stats"],
+        )
     summary["phases"]["scan"] = ck
     n_dups = ck["n_dups"]
 
@@ -140,18 +172,16 @@ def run_pipeline(
     def _parse_frame() -> DataFrame:
         """The (lazy) parse DataFrame: marker/dup anti-join -> salted
         repartition -> Arrow parse stage."""
-        src = src_scan.with_content_hash(src_scan.read_source(spark, cfg.source_path))
+        src = _source_frame()
         if cfg.incremental:
-            # this run's committed scan audit subsumes the dup anti-join,
-            # but its own store audit must NOT mask rows on a fused-mode
-            # retry (crash between store write_audit and commit)
-            marker = lineage.processed_keys(
-                spark, out, exclude_run_id=rid, exclude_phases=("store",)
-            )
+            # snapshot marker (excluding this run's torn snapshot, so a
+            # fused-mode retry after a crashed store is not masked by
+            # its own half-committed state)
+            marker = lineage.processed_keys(spark, out, exclude_run_id=rid)
             if marker is not None:
                 src = src.join(marker, ["image_id", "content_hash"], "left_anti")
-        else:
-            dups = spark.read.parquet(dups_path)
+        if n_dups:  # dup ids come from the committed scan-audit partition
+            dups = spark.read.parquet(scan_audit_path)
             src = src_scan.anti_join_ids(src, dups, broadcast=n_dups <= cfg.dup_broadcast_max)
         n_part = spark.sparkContext.defaultParallelism * 2
         salted = _salted_repartition(src, cfg, n_part)
@@ -188,6 +218,9 @@ def run_pipeline(
         # heal half-finished kept swaps from a crashed earlier attempt
         # BEFORE anything reads the kept store
         sink.recover(spark)
+        # schema gate: a store written under a different engine version
+        # fails fast with the full diff, never silently unioned
+        sink.validate(spark, KEPT_SCHEMA_DDL)
         feats = _parse_frame() if cfg.fused else spark.read.parquet(feats_path)
         decided = decision_columns(feats, cfg.thresholds)
         # existence check refines create/omit into update/delete for ids
@@ -196,16 +229,30 @@ def run_pipeline(
         # runner_test.go:638-702)
         existing = sink.existing_ids(spark, exclude_run_id=rid)
         decided = executor.classify_actions(decided, existing)
-        persisted = False
+        persisted = staged = False
         if existing is not None:
-            # MATERIALIZE (not just persist) before the delete step:
-            # decided's lineage includes the classify join over kept
-            # files the deletes will atomically swap out — a lost cached
-            # partition afterwards would recompute from deleted files
-            # (FileNotFoundException mid-write on a real cluster)
-            decided_path = lineage.stage_dir(out, rid, "decided")
-            decided.write.mode("overwrite").parquet(decided_path)
-            decided = spark.read.parquet(decided_path)
+            # several consumers below (affected probe, writes, metrics);
+            # cache so the classify join + parse chain runs once
+            decided = decided.persist()
+            persisted = True
+            # MATERIALIZE (not just persist) before the delete step —
+            # but ONLY when deletes will actually run: decided's lineage
+            # includes the classify join over kept files the deletes
+            # atomically swap out, and a lost cached partition afterwards
+            # would recompute from deleted files (FileNotFoundException
+            # mid-write on a real cluster). With no update/delete rows
+            # nothing swaps, so the staging write (a full extra pass,
+            # the round-2 fixed-cost profile top) is skipped.
+            has_affected = not decided.where(
+                F.col("action").isin("update", "delete")
+            ).isEmpty()
+            if has_affected:
+                decided_path = lineage.stage_dir(out, rid, "decided")
+                decided.write.mode("overwrite").parquet(decided_path)
+                decided.unpersist()
+                persisted = False
+                decided = spark.read.parquet(decided_path)
+                staged = True
         elif cfg.fused:
             # three writes consume the frame; cache so parse runs once
             decided = decided.persist()
@@ -227,12 +274,23 @@ def run_pipeline(
 
         # --- D: remove prior kept rows of update/delete ids (staged
         #        rewrite + atomic swap; idempotent under retry) ---------
-        if existing is not None:
+        if staged:  # only when update/delete rows exist (probe above)
             _sub("delete", lambda: executor.execute_deletes(spark, sink, rid, decided))
         # --- U + C: this run's kept rows land in the sink's run scope --
         # per-run overwrite = idempotent under store-phase retry even on
-        # incremental runs (run 2's retry never touches run 1)
-        _sub("write_kept", lambda: sink.write(executor.kept_rows(decided, KEPT_COLUMNS), rid))
+        # incremental runs (run 2's retry never touches run 1).
+        # A transactional backend may return per-item failures it could
+        # not land after its retry budget — routed below to the audit as
+        # issue rows and excluded from the marker so they re-enter next
+        # run (gobulk records failed ops as issues, issue.go:137-146)
+        write_failures: list[dict] = []
+
+        def _write_kept() -> None:
+            f = sink.write(executor.kept_rows(decided, KEPT_COLUMNS), rid)
+            if f:
+                write_failures.extend(f)
+
+        _sub("write_kept", _write_kept)
         # --- O: omits/issues reach only the audit + metrics tables -----
         audit = executor.store_audit_columns(decided, rid)
         # run totals ride the audit write as an observation — no read-back
@@ -244,6 +302,10 @@ def run_pipeline(
             F.sum(F.col("action").isin("omit", "delete").cast("long")).alias("dropped"),
             F.sum((F.col("action") == "issue").cast("long")).alias("issues"),
         )
+        if write_failures:
+            audit = audit.unionByName(
+                executor.write_failure_audit(spark, write_failures, rid)
+            )
         _sub("write_audit", lambda: lineage.write_audit(audit, out, "store", rid))
         _sub(
             "write_metrics",
@@ -251,10 +313,56 @@ def run_pipeline(
                 lineage.partition_metrics(decided, rid), out, "store", rid
             ),
         )
+        # compacted-marker advance: this run's (id, latest hash) pairs —
+        # decided rows plus the scan-phase dups — merge into the O(ids)
+        # snapshot the NEXT run's anti-join reads (replaces round 2's
+        # full-audit groupBy). Pointer flip is atomic; retry-idempotent.
+        new_pairs = decided.select("image_id", "content_hash")
+        if write_failures:
+            # a row the sink could not land is NOT processed: keeping it
+            # out of the marker makes the next incremental run re-import
+            # it (the retry tier above bounded retries; this is the
+            # next-iteration tier)
+            failed = [f["image_id"] for f in write_failures]
+            new_pairs = new_pairs.where(~F.col("image_id").isin(failed))
+        if n_dups:
+            new_pairs = new_pairs.unionByName(
+                spark.read.parquet(scan_audit_path).select(
+                    "image_id", "content_hash"
+                )
+            )
+        _sub(
+            "advance_marker",
+            lambda: lineage.advance_marker(spark, out, rid, new_pairs),
+        )
+        # file-manifest advance: the frozen listing this run processed
+        # becomes the next run's prune baseline (committed before the
+        # phase flip so a crash in between re-commits identical content).
+        # Files holding sink-FAILED rows are withheld: "unchanged file"
+        # must mean "all rows landed", or the prune would mask the
+        # re-import the marker exclusion above arranged.
+        manifest_files = scan_set["files"]
+        if write_failures:
+            failed_files = {
+                src_manifest.norm_path(f["source_file"])
+                for f in write_failures
+            }
+            if None in failed_files:  # unknown provenance: withhold all
+                manifest_files = []
+            else:
+                manifest_files = [
+                    f
+                    for f in manifest_files
+                    if src_manifest.norm_path(f["path"]) not in failed_files
+                ]
+        _sub(
+            "commit_manifest",
+            lambda: src_manifest.commit_manifest(spark, out, rid, manifest_files),
+        )
         stats = obs.get
         if persisted:
             decided.unpersist()
-        if existing is not None:
+        if staged:
             # the staged decided snapshot served its purpose (stable
             # input across the delete step); don't let one copy per run
             # accumulate under _stage

@@ -4,23 +4,36 @@ gobulk defines Output with Elements (existence lookup) and
 Create/Update/Delete execution (output.go:12-16) and ships ES and
 GORM/MySQL backends (output/elasticsearch.go:231-320,
 output/gorm.go:114-152). The engine here is sink-agnostic through the
-same four verbs:
+same verbs:
 
+- validate      — schema check against the live store BEFORE any write
+                  (gobulk deep-equal-diffs the declared schema on setup,
+                  output/elasticsearch.go:153-158, output/mysql.go:48-76)
 - recover       — heal half-finished writes before any read
 - existing_ids  — Output.Elements: which incoming ids already exist
-- write         — Create/Update: land a run's kept rows
+- write         — Create/Update: land a run's kept rows; returns
+                  per-item FAILURES a transactional backend could not
+                  land after retries (the engine routes them to the
+                  audit as issue rows and keeps them OUT of the marker,
+                  so they re-enter next run — gobulk records failed ops
+                  as issues, issue.go:137-146)
 - delete        — Delete: remove keys from prior runs' data
 
 ParquetKeptSink is the default (run=<id>/lang=<l> directory layout,
-atomic swap deletes via lineage/fsutil). MemoryKeptSink is the
-reference second backend proving the seam: the full e2e suite passes
-against it (tests/test_sinks.py). An Iceberg/ES sink implements the
-same protocol; nothing in pipeline.py changes.
+atomic swap deletes via lineage/fsutil; write is all-or-nothing, task
+retry is Spark's tier, so it never returns partial failures).
+MemoryKeptSink proves the seam with a second storage-free backend;
+UnreliableMemoryKeptSink is the third — a transactional per-item
+backend with injectable faults exercising the ES retry contract
+(429-backoff x15, conflict-retry x3, delete-404-is-success,
+output/elasticsearch.go:309-320,343-360). The full e2e suite passes
+against all of them (tests/test_sinks.py, tests/test_retry_sink.py).
 """
 
 from __future__ import annotations
 
-from typing import Protocol
+import time
+from typing import Callable, Protocol
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -29,18 +42,51 @@ from pyspark.sql import functions as F
 from . import lineage
 
 
+class SinkSchemaMismatch(Exception):
+    """The live store's schema deep-diffs against the declared one."""
+
+
 class KeptSink(Protocol):
+    def validate(self, spark: SparkSession, schema_ddl: str) -> None: ...
+
     def recover(self, spark: SparkSession) -> None: ...
 
     def existing_ids(
         self, spark: SparkSession, exclude_run_id: str
     ) -> DataFrame | None: ...
 
-    def write(self, df: DataFrame, run_id: str) -> None: ...
+    def write(self, df: DataFrame, run_id: str) -> list[dict] | None: ...
 
     def delete(self, spark: SparkSession, run_id: str, keys: DataFrame) -> None: ...
 
     def read(self, spark: SparkSession) -> DataFrame | None: ...
+
+
+def _diff_schema(declared: dict[str, str], live: dict[str, str]) -> str | None:
+    """Deep field-by-field diff (name -> normalized type); None if equal.
+
+    The live store may carry extra PHYSICAL columns the layout adds
+    (e.g. the run= partition key) — those are declared by the caller.
+    Anything else — missing, extra, or re-typed — is a hard setup
+    error, reported in full so the operator sees every divergence at
+    once, not one per run (gobulk prints the whole diff,
+    output/elasticsearch.go:153-158)."""
+    problems = []
+    for name, typ in declared.items():
+        if name not in live:
+            problems.append(f"missing column: {name} {typ}")
+        elif live[name] != typ:
+            problems.append(f"type mismatch: {name} is {live[name]}, declared {typ}")
+    for name in live:
+        if name not in declared:
+            problems.append(f"unexpected column: {name} {live[name]}")
+    return "; ".join(problems) if problems else None
+
+
+def _ddl_to_fields(spark: SparkSession, ddl: str) -> dict[str, str]:
+    from pyspark.sql.types import StructType
+
+    return {f.name: f.dataType.simpleString() for f in StructType.fromDDL(ddl)}
 
 
 class ParquetKeptSink:
@@ -50,16 +96,37 @@ class ParquetKeptSink:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
 
+    def validate(self, spark: SparkSession, schema_ddl: str) -> None:
+        """Fail fast (with the full diff) if the live kept store was
+        written under a different schema — BEFORE any write, so a store
+        from an older engine version is rejected instead of silently
+        unioned by the next read."""
+        live_df = lineage.read_kept(spark, self.out_dir)
+        if live_df is None:
+            return  # empty store: this run establishes the schema
+        declared = _ddl_to_fields(spark, schema_ddl)
+        declared["run"] = "string"  # physical partition key of the layout
+        live = {f.name: f.dataType.simpleString() for f in live_df.schema.fields}
+        diff = _diff_schema(declared, live)
+        if diff:
+            raise SinkSchemaMismatch(
+                f"kept store at {lineage.kept_dir(self.out_dir)} does not "
+                f"match the declared schema: {diff}"
+            )
+
     def recover(self, spark: SparkSession) -> None:
         lineage.recover_kept_swaps(spark, self.out_dir)
 
     def existing_ids(self, spark: SparkSession, exclude_run_id: str) -> DataFrame | None:
         return lineage.prior_kept_ids(spark, self.out_dir, exclude_run_id)
 
-    def write(self, df: DataFrame, run_id: str) -> None:
+    def write(self, df: DataFrame, run_id: str) -> list[dict] | None:
+        # all-or-nothing: a failed Spark write raises (task retry is the
+        # executor tier), so there are never per-item partial failures
         df.write.mode("overwrite").partitionBy("lang").parquet(
             f"{lineage.kept_dir(self.out_dir)}/run={run_id}"
         )
+        return None
 
     def delete(self, spark: SparkSession, run_id: str, keys: DataFrame) -> None:
         lineage.delete_keys_from_prior_runs(spark, self.out_dir, run_id, keys)
@@ -78,6 +145,14 @@ class MemoryKeptSink:
     def __init__(self):
         self.runs: dict[str, pd.DataFrame] = {}
 
+    def validate(self, spark: SparkSession, schema_ddl: str) -> None:
+        declared = _ddl_to_fields(spark, schema_ddl)
+        for rid, f in self.runs.items():
+            if not f.empty and (missing := set(declared) - set(f.columns)):
+                raise SinkSchemaMismatch(
+                    f"run {rid} lacks declared columns {sorted(missing)}"
+                )
+
     def recover(self, spark: SparkSession) -> None:
         pass  # writes are atomic dict assignments
 
@@ -90,8 +165,9 @@ class MemoryKeptSink:
         ids = pd.concat(frames)["image_id"].drop_duplicates()
         return spark.createDataFrame(ids.to_frame(), schema="image_id string")
 
-    def write(self, df: DataFrame, run_id: str) -> None:
+    def write(self, df: DataFrame, run_id: str) -> list[dict] | None:
         self.runs[run_id] = df.toPandas()
+        return None
 
     def delete(self, spark: SparkSession, run_id: str, keys: DataFrame) -> None:
         drop = {r["image_id"] for r in keys.select("image_id").distinct().collect()}
@@ -105,3 +181,99 @@ class MemoryKeptSink:
         if not frames:
             return None
         return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+
+class UnreliableMemoryKeptSink(MemoryKeptSink):
+    """Transactional per-item backend with injectable faults — the third
+    sink, proving the remote-store retry contract without any jars.
+
+    gobulk's Elasticsearch output retries a 429'd bulk chunk up to 15
+    times with backoff, retries version-conflicted items 3 times, treats
+    delete-of-absent (404) as success, and records everything else as a
+    per-item issue with the payload attached
+    (output/elasticsearch.go:309-320,343-360; gorm.go:201-218 detects
+    0-rows-affected). ``fault(item, attempt)`` returns None (ok),
+    "transient" (429-shaped: whole remaining chunk retried),
+    "conflict" (409-shaped: that item retried), or "permanent"
+    (400-shaped: no retry) — tests script failure sequences with it.
+
+    Scale note: this is deliberately a driver-side test double (like
+    MemoryKeptSink). A production remote sink runs the same loop inside
+    ``df.foreachPartition`` so each executor retries its own chunk; the
+    CONTRACT (bounded retries, per-item failure capture, failures
+    returned to the engine) is what the e2e suite pins here.
+    """
+
+    def __init__(
+        self,
+        fault: Callable[[dict, int], str | None] | None = None,
+        max_transient_retries: int = 15,
+        max_conflict_retries: int = 3,
+        backoff_s: float = 0.0,
+    ):
+        super().__init__()
+        self.fault = fault or (lambda item, attempt: None)
+        self.max_transient_retries = max_transient_retries
+        self.max_conflict_retries = max_conflict_retries
+        self.backoff_s = backoff_s
+        self.attempt_log: list[tuple[str, int, str]] = []
+
+    def _put(self, item: dict) -> tuple[bool, str | None, int]:
+        """(landed, error_msg, attempts) after the full retry budget."""
+        transient = conflict = 0
+        attempt = 0
+        while True:
+            attempt += 1
+            status = self.fault(item, attempt)
+            self.attempt_log.append((item["image_id"], attempt, status or "ok"))
+            if status is None:
+                return True, None, attempt
+            if status == "transient":
+                transient += 1
+                if transient > self.max_transient_retries:
+                    return False, "transient failure: retries exhausted", attempt
+                time.sleep(self.backoff_s)
+            elif status == "conflict":
+                conflict += 1
+                if conflict > self.max_conflict_retries:
+                    return False, "version conflict: retries exhausted", attempt
+            else:  # permanent — no retry, straight to the issue row
+                return False, f"permanent failure: {status}", attempt
+
+    def write(self, df: DataFrame, run_id: str) -> list[dict] | None:
+        items = df.toPandas()
+        landed, failures = [], []
+        for item in items.to_dict("records"):
+            ok, err, attempts = self._put(item)
+            if ok:
+                landed.append(item)
+            else:
+                failures.append(
+                    {
+                        "image_id": item["image_id"],
+                        "source_file": item.get("source_file"),
+                        "content_hash": item.get("content_hash"),
+                        "error_msg": err,
+                        "payload": str(item.get("caption")),
+                        "attempts": attempts,
+                    }
+                )
+        # rebuild with the source frame's dtypes: the dict round-trip
+        # widens int32->int64, and the seam contract is byte-identical
+        # kept rows across backends (tests compare frames exactly)
+        self.runs[run_id] = (
+            pd.DataFrame(landed, columns=items.columns).astype(
+                items.dtypes.to_dict()
+            )
+            if landed
+            else items.iloc[0:0]
+        )
+        return failures or None
+
+    def delete(self, spark: SparkSession, run_id: str, keys: DataFrame) -> None:
+        # delete-of-absent is SUCCESS (ES 404 contract) — the base
+        # implementation's isin() filter is naturally idempotent; this
+        # override exists to document the contract and log attempts
+        for r in keys.select("image_id").distinct().collect():
+            self.attempt_log.append((r["image_id"], 1, "delete"))
+        super().delete(spark, run_id, keys)

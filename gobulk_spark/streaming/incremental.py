@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .. import executor, lineage
 from ..config import PipelineConfig
-from ..pipeline import KEPT_COLUMNS
+from ..pipeline import KEPT_COLUMNS, KEPT_SCHEMA_DDL
 from ..plan import decision_columns
 from ..sinks import KeptSink, ParquetKeptSink
 from ..sources import scan as src_scan
@@ -50,13 +50,14 @@ def _process_microbatch(
     )
     # in-batch content dedup (cross-batch dedup = the marker/audit check)
     dups = src_scan.find_duplicates(src, carry=("source_file",))
-    # marker on the LATEST content_hash per id: changed (or reverted)
-    # content re-enters as an update.
-    # Exclude this epoch's own store audit: a foreachBatch retry
-    # of the same epoch must not be masked by its half-committed outputs.
-    marker = lineage.processed_keys(
-        spark, out, exclude_run_id=rid, exclude_phases=("store",)
-    )
+    # compacted-snapshot marker on the LATEST content_hash per id:
+    # changed (or reverted) content re-enters as an update. The
+    # snapshot advances only at the END of this function and records
+    # its epoch, so a foreachBatch RETRY of the same epoch reads the
+    # predecessor snapshot — never masked by its own half-committed
+    # outputs (and, unlike the round-2 audit-scan marker, the retry
+    # re-detects and re-audits the epoch's duplicates identically).
+    marker = lineage.processed_keys(spark, out, exclude_run_id=rid)
     if marker is not None:
         src = src.join(marker, ["image_id", "content_hash"], "left_anti")
     deduped = src_scan.anti_join_ids(src, dups, broadcast=True)
@@ -80,19 +81,53 @@ def _process_microbatch(
     )
     decided = decision_columns(feats, cfg.thresholds)
     sink.recover(spark)  # heal before reading kept
+    sink.validate(spark, KEPT_SCHEMA_DDL)  # schema gate, fail fast
     existing = sink.existing_ids(spark, exclude_run_id=rid)
     decided = executor.classify_actions(decided, existing)
+    persisted = staged = False
     if existing is not None:
+        decided = decided.persist()
+        persisted = True
         # materialize before deletes mutate the files decided's lineage
-        # reads (see pipeline.py store phase)
-        decided_path = lineage.stage_dir(out, rid, "decided")
-        decided.write.mode("overwrite").parquet(decided_path)
-        decided = spark.read.parquet(decided_path)
-        executor.execute_deletes(spark, sink, rid, decided)
-    sink.write(executor.kept_rows(decided, KEPT_COLUMNS), rid)
-    lineage.write_audit(executor.store_audit_columns(decided, rid), out, "store", rid)
+        # reads (see pipeline.py store phase) — but only when deletes
+        # WILL run: on a mostly-append stream the per-epoch staging
+        # write dominated the epoch cost (round-2 profile), and with an
+        # empty affected set nothing swaps, so the persist suffices
+        if not decided.where(F.col("action").isin("update", "delete")).isEmpty():
+            decided_path = lineage.stage_dir(out, rid, "decided")
+            decided.write.mode("overwrite").parquet(decided_path)
+            decided.unpersist()
+            persisted = False
+            decided = spark.read.parquet(decided_path)
+            staged = True
+            executor.execute_deletes(spark, sink, rid, decided)
+    failures = sink.write(executor.kept_rows(decided, KEPT_COLUMNS), rid)
+    audit = executor.store_audit_columns(decided, rid)
+    if failures:
+        # per-item sink failures land as audit issues (see pipeline.py)
+        audit = audit.unionByName(
+            executor.write_failure_audit(spark, failures, rid)
+        )
+    lineage.write_audit(audit, out, "store", rid)
     lineage.write_metrics(lineage.partition_metrics(decided, rid), out, "store", rid)
-    if existing is not None:
+    # advance the compacted marker with this epoch's pairs (decided +
+    # in-batch dups); the atomic pointer flip is the epoch's cross-batch
+    # dedup commit point, retry-idempotent (predecessor snapshot kept).
+    # Items the sink failed to land stay OUT so a later epoch re-imports
+    new_pairs = decided.select("image_id", "content_hash")
+    if failures:
+        new_pairs = new_pairs.where(
+            ~F.col("image_id").isin([f["image_id"] for f in failures])
+        )
+    lineage.advance_marker(
+        spark,
+        out,
+        rid,
+        new_pairs.unionByName(dups.select("image_id", "content_hash")),
+    )
+    if persisted:
+        decided.unpersist()
+    if staged:
         # one staged snapshot per EPOCH would grow without bound on a
         # long-lived stream; drop it once the epoch's writes are done
         from ..fsutil import Fs

@@ -1,0 +1,192 @@
+"""Round-3 scale economics: file-level change pruning + compacted marker.
+
+The two round-2 scale weaknesses, pinned by tests:
+1. incremental runs re-hashed the ENTIRE corpus (gobulk reads ETag from
+   the listing, input/s3.go:203-205) — now a per-file (length, mtime)
+   manifest prunes unchanged files before any byte is read, and the
+   scan commit records how many files/bytes were actually scanned;
+2. the marker was a groupBy over the FULL audit history — now a
+   compacted snapshot advanced atomically at store commit, O(ids) per
+   read, with the predecessor retained for torn-retry exclusion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from gobulk_spark import lineage
+from gobulk_spark.config import PipelineConfig
+from gobulk_spark.corpus import generate_pairs
+from gobulk_spark.pipeline import run_pipeline
+from gobulk_spark.sources import manifest as src_manifest
+
+BASE = "/tmp/gobulk_spark_test_out/manifest_marker"
+SRC = os.path.join(BASE, "src")
+N_FILES = 8
+
+
+def _write_sharded(n: int, mutate_shard: int | None = None) -> str:
+    """n-row corpus split over N_FILES parquet files by row index.
+
+    ``mutate_shard`` rewrites ONLY that shard with suffixed captions
+    (changed content, same ids) — the other files keep their original
+    bytes and mtimes, exactly the partial-update shape the manifest
+    prunes."""
+    os.makedirs(SRC, exist_ok=True)
+    pairs, _ = generate_pairs(n, seed=42)
+    df = pairs.to_pandas()
+    shards = range(N_FILES) if mutate_shard is None else [mutate_shard]
+    for s in shards:
+        part = df.iloc[s::N_FILES].reset_index(drop=True)
+        if s == mutate_shard:
+            part["caption"] = part["caption"] + " updated with fresh words"
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            os.path.join(SRC, f"part-{s}.parquet"),
+        )
+    return SRC
+
+
+def test_incremental_scan_reads_only_changed_files(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    _write_sharded(800)
+    out = os.path.join(BASE, "out1")
+    s1 = run_pipeline(
+        spark, PipelineConfig(source_path=SRC, out_dir=out, run_id="r1")
+    )
+    st1 = s1["phases"]["scan"]
+    assert st1["source_files_total"] == N_FILES
+    assert st1["source_files_scanned"] == N_FILES  # no baseline yet
+
+    # mutate ONE shard; incremental run must read exactly that file
+    _write_sharded(800, mutate_shard=3)
+    s2 = run_pipeline(
+        spark,
+        PipelineConfig(
+            source_path=SRC, out_dir=out, run_id="r2", incremental=True
+        ),
+    )
+    st2 = s2["phases"]["scan"]
+    assert st2["source_files_total"] == N_FILES
+    assert st2["source_files_scanned"] == 1
+    assert st2["source_bytes_scanned"] < st1["source_bytes_total"] / 4
+    # and the changed shard's rows re-entered as updates/deletes while
+    # nothing else was touched
+    audit = lineage.read_audit(spark, out).toPandas()
+    r2 = audit[audit.run_id == "r2"]
+    assert len(r2) == 100  # one shard of 800 over 8 files
+    assert set(r2.action) <= {"update", "delete", "create", "omit", "issue"}
+    kept = lineage.read_kept(spark, out).toPandas()
+    assert kept["image_id"].is_unique
+
+
+def test_unchanged_source_incremental_run_scans_zero_files(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    _write_sharded(400)
+    out = os.path.join(BASE, "out2")
+    run_pipeline(spark, PipelineConfig(source_path=SRC, out_dir=out, run_id="r1"))
+    s2 = run_pipeline(
+        spark,
+        PipelineConfig(
+            source_path=SRC, out_dir=out, run_id="r2", incremental=True
+        ),
+    )
+    st = s2["phases"]["scan"]
+    assert st["source_files_scanned"] == 0
+    assert st["source_bytes_scanned"] == 0
+    assert s2["phases"]["store"]["rows_in"] == 0
+    kept = lineage.read_kept(spark, out).toPandas()
+    assert set(kept["run"].unique()) == {"r1"}
+
+
+def test_marker_snapshot_advances_and_gcs(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    _write_sharded(400)
+    out = os.path.join(BASE, "out3")
+    for i, shard in ((1, None), (2, 2), (3, 5)):
+        if shard is not None:
+            _write_sharded(400, mutate_shard=shard)
+        run_pipeline(
+            spark,
+            PipelineConfig(
+                source_path=SRC,
+                out_dir=out,
+                run_id=f"r{i}",
+                incremental=i > 1,
+            ),
+        )
+    root = os.path.join(out, "_marker")
+    latest = json.loads(open(os.path.join(root, "LATEST")).read())
+    assert latest["run_id"] == "r3"
+    snaps = [d for d in os.listdir(root) if d.startswith("snap-")]
+    # GC keeps only the latest + its predecessor, regardless of run count
+    assert sorted(snaps) == sorted([latest["path"], latest["prev_path"]])
+    # the snapshot IS the marker: latest hash per id, one row per id
+    snap = spark.read.parquet(os.path.join(root, latest["path"])).toPandas()
+    assert snap["image_id"].is_unique
+    assert len(snap) == 400
+    # O(ids) read path: processed_keys must not touch the audit log
+    marker = lineage.processed_keys(spark, out)
+    files = {
+        r["source_file"]
+        for r in marker.withColumn("source_file", F.input_file_name())
+        .select("source_file")
+        .distinct()
+        .collect()
+    }
+    assert all("_marker" in f for f in files)
+    assert not any("audit" in f for f in files)
+
+
+def test_legacy_audit_migration(spark):
+    """An out_dir written before the snapshot layout (audit only, no
+    _marker) must still yield a correct marker, and the next run's
+    commit creates the snapshot."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    _write_sharded(400)
+    out = os.path.join(BASE, "out4")
+    run_pipeline(spark, PipelineConfig(source_path=SRC, out_dir=out, run_id="r1"))
+    shutil.rmtree(os.path.join(out, "_marker"))  # simulate pre-round-3 layout
+    legacy = lineage.processed_keys(spark, out)
+    assert legacy is not None and legacy.count() == 400  # audit fallback
+    _write_sharded(400, mutate_shard=0)
+    s2 = run_pipeline(
+        spark,
+        PipelineConfig(
+            source_path=SRC, out_dir=out, run_id="r2", incremental=True
+        ),
+    )
+    assert s2["phases"]["store"]["rows_in"] == 50
+    assert os.path.exists(os.path.join(out, "_marker", "LATEST"))
+    kept = lineage.read_kept(spark, out).toPandas()
+    assert kept["image_id"].is_unique
+
+
+def test_manifest_torn_retry_uses_predecessor(spark):
+    """commit_manifest by the same run twice preserves the original
+    baseline (the manifest analogue of the marker's prev snapshot)."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    os.makedirs(BASE)
+    out = os.path.join(BASE, "out5")
+    f1 = [{"path": "a", "length": 1, "mtime": 1}]
+    f2 = [{"path": "a", "length": 2, "mtime": 2}]
+    f3 = [{"path": "a", "length": 3, "mtime": 3}]
+    src_manifest.commit_manifest(spark, out, "r1", f1)
+    src_manifest.commit_manifest(spark, out, "r2", f2)
+    # r2 retries its commit with fresh stats — baseline must stay r1's
+    src_manifest.commit_manifest(spark, out, "r2", f3)
+    assert src_manifest.read_manifest(spark, out) == {"a": (3, 3)}
+    assert src_manifest.read_manifest(spark, out, exclude_run_id="r2") == {
+        "a": (1, 1)
+    }
+    # and a run that never committed sees the latest baseline
+    assert src_manifest.read_manifest(spark, out, exclude_run_id="r9") == {
+        "a": (3, 3)
+    }

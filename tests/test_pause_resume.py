@@ -73,8 +73,12 @@ def test_store_commit_records_subops(spark):
     out = os.path.join(BASE, "out3")
     s = run_pipeline(spark, PipelineConfig(source_path=src, out_dir=out, run_id="r1"))
     subops = s["phases"]["store"]["subops"]
-    assert [o["op"] for o in subops] == ["write_kept", "write_audit", "write_metrics"]
+    expected = [
+        "write_kept", "write_audit", "write_metrics",
+        "advance_marker", "commit_manifest",
+    ]
+    assert [o["op"] for o in subops] == expected
     assert all(o["ok"] and o["wall_s"] >= 0 for o in subops)
     # the manifest on disk carries them too (resume reads the same dict)
     ck = lineage.phase_committed(out, "r1", "store", spark)
-    assert [o["op"] for o in ck["subops"]] == ["write_kept", "write_audit", "write_metrics"]
+    assert [o["op"] for o in ck["subops"]] == expected

@@ -1,0 +1,215 @@
+"""Remote-sink retry contract + schema gate (round-3 VERDICT #4/#5).
+
+The reference's ES output retries 429'd chunks 15x with backoff,
+retries version conflicts 3x, treats delete-404 as success, and records
+everything else as a per-item issue with payload
+(output/elasticsearch.go:309-320,343-360); it also deep-diffs the
+declared schema against the live store before running
+(output/elasticsearch.go:153-158, output/mysql.go:48-76). These tests
+pin both contracts against the injectable UnreliableMemoryKeptSink and
+the parquet sink's validate().
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from gobulk_spark import lineage
+from gobulk_spark.config import PipelineConfig
+from gobulk_spark.pipeline import KEPT_SCHEMA_DDL, run_pipeline
+from gobulk_spark.sinks import (
+    MemoryKeptSink,
+    ParquetKeptSink,
+    SinkSchemaMismatch,
+    UnreliableMemoryKeptSink,
+)
+
+BASE = "/tmp/gobulk_spark_test_out/retry_sink"
+
+
+def _src(n=300, seed=6) -> str:
+    from gobulk_spark.corpus import generate_pairs
+
+    os.makedirs(BASE, exist_ok=True)
+    pairs, _ = generate_pairs(n, seed=seed)
+    path = os.path.join(BASE, "src.parquet")
+    pq.write_table(pairs, path)
+    return path
+
+
+def test_transient_failures_retry_to_success(spark):
+    """Every item 429s twice then lands: the kept store must equal a
+    reliable run's, with zero audit issues."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    src = _src()
+    counts: dict[str, int] = {}
+
+    def fault(item, attempt):
+        counts[item["image_id"]] = attempt
+        return "transient" if attempt <= 2 else None
+
+    flaky = UnreliableMemoryKeptSink(fault=fault)
+    run_pipeline(
+        spark,
+        PipelineConfig(source_path=src, out_dir=os.path.join(BASE, "f"), run_id="r1"),
+        sink=flaky,
+    )
+    reliable = MemoryKeptSink()
+    run_pipeline(
+        spark,
+        PipelineConfig(source_path=src, out_dir=os.path.join(BASE, "r"), run_id="r1"),
+        sink=reliable,
+    )
+    kf = flaky.read(spark).toPandas().sort_values("image_id").reset_index(drop=True)
+    kr = reliable.read(spark).toPandas().sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(kf, kr)
+    assert all(v == 3 for v in counts.values())  # 2 rejects + 1 success
+    audit = lineage.read_audit(spark, os.path.join(BASE, "f")).toPandas()
+    assert (audit["issue_type"] == "output_write").sum() == 0
+
+
+def test_permanent_failures_become_issue_rows_and_reenter(spark):
+    """A permanently-failing item is absent from kept, lands as a
+    payload-carrying audit issue, stays OUT of the marker, and is
+    re-imported by the next incremental run."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    src = _src()
+    out = os.path.join(BASE, "out")
+    poison: set[str] = set()
+
+    def fault(item, attempt):
+        return "permanent" if item["image_id"] in poison else None
+
+    sink = UnreliableMemoryKeptSink(fault=fault)
+    probe = run_pipeline(
+        spark, PipelineConfig(source_path=src, out_dir=os.path.join(BASE, "probe"),
+                              run_id="p"), sink=MemoryKeptSink(),
+    )
+    # poison two ids that a clean run keeps
+    clean_run = MemoryKeptSink()
+    shutil.rmtree(os.path.join(BASE, "probe"), ignore_errors=True)
+    run_pipeline(
+        spark, PipelineConfig(source_path=src, out_dir=os.path.join(BASE, "probe"),
+                              run_id="p"), sink=clean_run,
+    )
+    kept_ids = sorted(clean_run.read(spark).toPandas().image_id)
+    poison.update(kept_ids[:2])
+
+    s1 = run_pipeline(
+        spark, PipelineConfig(source_path=src, out_dir=out, run_id="r1"), sink=sink
+    )
+    kept = sink.read(spark).toPandas()
+    assert not poison & set(kept.image_id)
+    audit = lineage.read_audit(spark, out).toPandas()
+    issues = audit[audit.issue_type == "output_write"]
+    assert set(issues.image_id) == poison
+    assert (issues.phase == "execute").all()
+    assert (issues.action == "issue").all()
+    assert issues.error_msg.str.contains("permanent failure").all()
+    assert issues.payload.notna().all()
+    # marker excludes the failed ids -> the next incremental run
+    # re-imports exactly them once the fault clears
+    marker = lineage.processed_keys(spark, out)
+    assert not poison & {r["image_id"] for r in marker.collect()}
+    poison.clear()
+    s2 = run_pipeline(
+        spark,
+        PipelineConfig(source_path=src, out_dir=out, run_id="r2", incremental=True),
+        sink=sink,
+    )
+    assert s2["phases"]["store"]["rows_in"] == 2
+    kept2 = sink.read(spark).toPandas()
+    assert set(kept_ids[:2]) <= set(kept2.image_id)
+    assert kept2["image_id"].is_unique
+
+
+def test_conflict_retries_bounded(spark):
+    """409-shaped conflicts retry exactly max_conflict_retries times,
+    then the item fails; a conflict clearing on retry 2 lands."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    src = _src(100, seed=7)
+
+    calls: dict[str, int] = {}
+
+    def fault(item, attempt):
+        iid = item["image_id"]
+        calls[iid] = attempt
+        h = int(iid[-2:], 16)
+        if h % 3 == 0:  # clears on the 2nd attempt
+            return "conflict" if attempt == 1 else None
+        if h % 7 == 1:  # never clears
+            return "conflict"
+        return None
+
+    sink = UnreliableMemoryKeptSink(fault=fault, max_conflict_retries=3)
+    out = os.path.join(BASE, "out")
+    run_pipeline(
+        spark, PipelineConfig(source_path=src, out_dir=out, run_id="r1"), sink=sink
+    )
+    audit = lineage.read_audit(spark, out).toPandas()
+    failed = audit[audit.issue_type == "output_write"]
+    kept = sink.read(spark)
+    kept_ids = set() if kept is None else set(kept.toPandas().image_id)
+    for iid, attempts in calls.items():
+        h = int(iid[-2:], 16)
+        if h % 3 == 0 and iid in kept_ids:
+            assert attempts == 2
+        elif h % 7 == 1 and iid in set(failed.image_id):
+            assert attempts == 4  # 1 + 3 bounded retries
+            assert "conflict" in failed[failed.image_id == iid].error_msg.iloc[0]
+
+
+def test_delete_of_absent_key_is_success(spark):
+    """ES delete-404 contract: deleting keys that are not in the store
+    must be a silent no-op, not an error."""
+    sink = UnreliableMemoryKeptSink()
+    sink.runs["r0"] = pd.DataFrame({"image_id": ["a"], "caption": ["x"]})
+    keys = spark.createDataFrame([("zz",), ("a",)], "image_id string")
+    sink.delete(spark, "r1", keys)  # must not raise
+    assert list(sink.runs["r0"].image_id) == []
+
+
+def test_parquet_schema_validation_rejects_renamed_column(spark):
+    """A kept store written under an older schema fails fast at setup
+    with the full diff — before any write (VERDICT #5)."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    src = _src()
+    out = os.path.join(BASE, "out")
+    run_pipeline(spark, PipelineConfig(source_path=src, out_dir=out, run_id="r1"))
+    # sabotage: rename a column in every kept file (old engine version)
+    kept_root = os.path.join(out, "kept")
+    for dirpath, _, files in os.walk(kept_root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                t = pq.read_table(p)
+                t = t.rename_columns(
+                    [c if c != "ppl" else "perplexity" for c in t.column_names]
+                )
+                pq.write_table(t, p)
+            if f.endswith(".crc"):  # stale Hadoop checksums of the rewrite
+                os.remove(os.path.join(dirpath, f))
+    with pytest.raises(SinkSchemaMismatch) as ei:
+        run_pipeline(
+            spark,
+            PipelineConfig(source_path=src, out_dir=out, run_id="r2",
+                           incremental=True),
+        )
+    msg = str(ei.value)
+    assert "missing column: ppl" in msg and "unexpected column: perplexity" in msg
+    # nothing was written by the rejected run
+    assert not os.path.isdir(os.path.join(out, "kept", "run=r2"))
+
+
+def test_validate_passes_on_healthy_store(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    src = _src(100, seed=8)
+    out = os.path.join(BASE, "out")
+    run_pipeline(spark, PipelineConfig(source_path=src, out_dir=out, run_id="r1"))
+    ParquetKeptSink(out).validate(spark, KEPT_SCHEMA_DDL)  # must not raise
