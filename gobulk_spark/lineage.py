@@ -224,12 +224,60 @@ def _legacy_marker(
     )
 
 
+def _marker_state(
+    latest: dict, exclude_run_id: str | None
+) -> tuple[str | None, list[dict]]:
+    """(snapshot_name, ordered delta entries) visible to a run.
+
+    Deltas written by the excluded run are dropped (a torn epoch retry
+    must not see its own half-committed delta); when the SNAPSHOT
+    itself belongs to the excluded run and no later deltas exist, the
+    recorded predecessor state (snapshot + the deltas it compacted
+    over) is returned instead — the retried run sees exactly its first
+    attempt's input.
+    """
+    deltas = [
+        d
+        for d in latest.get("deltas", [])
+        if exclude_run_id is None or d["run_id"] != exclude_run_id
+    ]
+    if (
+        exclude_run_id is not None
+        and latest["run_id"] == exclude_run_id
+        and not latest.get("deltas")
+    ):
+        prev = latest.get("prev") or {}
+        return prev.get("path"), prev.get("deltas", [])
+    return latest["path"], deltas
+
+
+def _merge_marker_frames(frames: list[DataFrame]) -> DataFrame:
+    """Latest-per-id across prioritized frames (later = newer wins; the
+    (priority, content_hash) struct breaks SAME-priority ties
+    deterministically — duplicate ids with differing content, a
+    data-contract violation, churn one stable sibling instead of
+    flapping)."""
+    tagged = [
+        df.select("image_id", "content_hash").withColumn("_prio", F.lit(i))
+        for i, df in enumerate(frames)
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    return u.groupBy("image_id").agg(
+        F.expr("max_by(content_hash, struct(_prio, content_hash))").alias(
+            "content_hash"
+        )
+    )
+
+
 def processed_keys(
     spark: SparkSession, out_dir: str, exclude_run_id: str | None = None
 ) -> DataFrame | None:
     """Marker for incremental runs: the LATEST (image_id, content_hash)
     pair per id across committed runs — read from the compacted
-    ``_marker`` snapshot, O(ids) not O(audit history).
+    ``_marker`` table (snapshot + bounded delta tier), O(ids), never
+    O(audit history).
 
     gobulk's dedup/track key is (IterationID, InputRepository,
     InputIdentifier, ContentHash) (tracker/gorm.go:441-449): the SAME
@@ -240,87 +288,116 @@ def processed_keys(
     content reverts to a previously-seen hash must re-enter, or the
     kept store stays stale forever.
 
-    ``exclude_run_id`` guarantees crash-retry idempotency: snapshots
-    advance only at store commit and each snapshot records the run that
-    produced it, so when the latest snapshot IS the excluded run's (a
-    torn run being retried), the read falls back to its recorded
-    predecessor — the retried phase sees exactly the first attempt's
-    input, never its own half-committed state. The audit table remains
-    the immutable log; it is consulted only for out_dirs predating the
-    snapshot layout (_legacy_marker).
+    Merge-on-read: with live deltas the read is snapshot ∪ deltas with
+    latest-wins priority (one map-side-combined aggregation over
+    O(ids + K·epoch) rows, K bounded by the compaction threshold);
+    with none it is a bare snapshot scan. ``exclude_run_id`` guarantees
+    crash-retry idempotency (see _marker_state). The audit table
+    remains the immutable log; it is consulted only for out_dirs
+    predating the marker layout (_legacy_marker).
     """
     fs = Fs(spark, out_dir)
     latest = _marker_latest(fs, out_dir)
     if latest is None:
         return _legacy_marker(spark, out_dir, exclude_run_id)
-    if exclude_run_id is not None and latest["run_id"] == exclude_run_id:
-        prev = latest.get("prev_path")
-        if prev is None:
-            return None
-        return spark.read.parquet(_join(marker_root(out_dir), prev))
-    return spark.read.parquet(_join(marker_root(out_dir), latest["path"]))
+    snap, deltas = _marker_state(latest, exclude_run_id)
+    root = marker_root(out_dir)
+    frames = [spark.read.parquet(_join(root, snap))] if snap else []
+    frames += [spark.read.parquet(_join(root, d["name"])) for d in deltas]
+    if not frames:
+        return None
+    if len(frames) == 1:
+        return frames[0]
+    return _merge_marker_frames(frames)
 
 
 def advance_marker(
-    spark: SparkSession, out_dir: str, run_id: str, new_pairs: DataFrame
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    new_pairs: DataFrame,
+    compact_every: int = 1,
 ) -> dict:
     """Atomically advance the compacted marker with this run's pairs.
 
-    Merge = prior snapshot ∪ new pairs, latest-per-id with the new run
-    winning (and a deterministic (priority, content_hash) tie-break
-    within one run — duplicate ids with differing content, a
-    data-contract violation, churn one stable sibling instead of
-    flapping). The new snapshot lands in a fresh seq-named directory;
-    the LATEST pointer flip (write_text_atomic) is the commit point, so
-    readers see the old or new snapshot, never a torn one. Obsolete
-    snapshot dirs (everything but new + its predecessor) are GC'd after
-    the flip — the predecessor must outlive the flip because a retry of
-    THIS run reads it (processed_keys exclusion).
+    LSM-shaped two-tier commit, because a full snapshot rewrite per
+    advance is O(total ids) — fine for occasional batch runs, fatal for
+    a long-lived stream committing small epochs against a 10^12-id
+    corpus:
 
-    Idempotent under crash-retry: if the latest snapshot already
-    belongs to ``run_id`` (crash between advance and phase commit), the
-    merge base is its recorded predecessor, so re-advancing produces
-    identical content. At warehouse scale this whole function is one
-    Iceberg MERGE snapshot commit.
+    - delta append (when fewer than ``compact_every`` deltas are live):
+      write ONLY this run's pairs, O(epoch); readers merge-on-read;
+    - compaction (every ``compact_every``-th advance, and always when
+      compact_every=1 — the batch default): fold snapshot + deltas +
+      new pairs into a fresh snapshot, latest-per-id.
+
+    The LATEST pointer flip (write_text_atomic) is the commit point in
+    both shapes — readers see the old or the new state, never a torn
+    one. The predecessor state (prev snapshot + the delta set a
+    compaction folded) outlives the flip so a torn retry of THIS run
+    reads its first attempt's input (processed_keys exclusion); GC then
+    removes everything unreferenced. Idempotent under crash-retry: a
+    re-advance by the same run excludes its own torn delta/snapshot and
+    reproduces identical content. At warehouse scale this whole
+    function is one Iceberg MERGE snapshot commit.
     """
     fs = Fs(spark, out_dir)
     root = marker_root(out_dir)
     latest = _marker_latest(fs, out_dir)
+    new = new_pairs.select("image_id", "content_hash")
     if latest is None:
-        seq, prev_name = 0, None
+        seq = 0
         base = _legacy_marker(spark, out_dir, exclude_run_id=run_id)
-    elif latest["run_id"] == run_id:  # torn retry of this run
-        seq, prev_name = latest["seq"] + 1, latest.get("prev_path")
-        base = (
-            spark.read.parquet(_join(root, prev_name)) if prev_name else None
-        )
+        snap, deltas = None, []
+        prev: dict | None = None
+        frames = ([base] if base is not None else []) + [new]
+        compact = True
     else:
-        seq, prev_name = latest["seq"] + 1, latest["path"]
-        base = spark.read.parquet(_join(root, prev_name))
-    new = new_pairs.select("image_id", "content_hash").withColumn(
-        "_prio", F.lit(1)
-    )
-    if base is not None:
-        new = base.select("image_id", "content_hash").withColumn(
-            "_prio", F.lit(0)
-        ).unionByName(new)
-    snap_name = f"snap-{seq:08d}-{run_id}"
-    merged = new.groupBy("image_id").agg(
-        F.expr("max_by(content_hash, struct(_prio, content_hash))").alias(
-            "content_hash"
+        seq = latest["seq"] + 1
+        snap, deltas = _marker_state(latest, exclude_run_id=run_id)
+        frames = (
+            [spark.read.parquet(_join(root, snap))] if snap else []
+        ) + [spark.read.parquet(_join(root, d["name"])) for d in deltas]
+        frames.append(new)
+        # force compaction when the live snapshot is this run's own torn
+        # one: a delta appended on top of it would leave no state readers
+        # excluding this run could fall back to
+        compact = len(deltas) + 1 >= compact_every or latest["run_id"] == run_id
+        prev = {"path": snap, "deltas": deltas}
+    if compact:
+        snap_name = f"snap-{seq:08d}-{run_id}"
+        merged = frames[0] if len(frames) == 1 else _merge_marker_frames(frames)
+        merged.write.mode("overwrite").parquet(_join(root, snap_name))
+        manifest = {
+            "run_id": run_id,
+            "seq": seq,
+            "path": snap_name,
+            "deltas": [],
+            "prev": prev,
+        }
+    else:
+        delta_name = f"delta-{seq:08d}-{run_id}"
+        # dedup within the epoch so the delta is one row per id
+        _merge_marker_frames([new]).write.mode("overwrite").parquet(
+            _join(root, delta_name)
         )
-    )
-    merged.write.mode("overwrite").parquet(_join(root, snap_name))
-    manifest = {
-        "run_id": run_id,
-        "seq": seq,
-        "path": snap_name,
-        "prev_path": prev_name,
-    }
+        manifest = {
+            "run_id": latest["run_id"],  # the snapshot's producer
+            "seq": seq,
+            "path": latest["path"],
+            "deltas": deltas + [{"name": delta_name, "run_id": run_id}],
+            "prev": latest.get("prev"),
+        }
     fs.write_text_atomic(_join(root, "LATEST"), json.dumps(manifest))
-    keep = {snap_name, prev_name, "LATEST"}
+    keep = {manifest["path"], "LATEST"}
+    keep.update(d["name"] for d in manifest["deltas"])
+    if manifest.get("prev"):
+        keep.add(manifest["prev"].get("path"))
+        keep.update(d["name"] for d in manifest["prev"].get("deltas", []))
     for name in fs.listdir(root):
-        if name.startswith("snap-") and name not in keep:
+        if name not in keep and (
+            name.startswith("snap-") or name.startswith("delta-")
+        ):
             fs.delete(_join(root, name))
     return manifest
 
@@ -420,19 +497,43 @@ def delete_keys_from_prior_runs(
         .distinct()
         .collect()
     )
+    if not affected:
+        return []
+    # heal half-finished swaps from a crashed earlier attempt BEFORE
+    # reading the leaves this rewrite depends on
+    for prior, lang in affected:
+        fs.recover_replace_dir(
+            _join(kept_dir(out_dir), f"run={prior}", f"lang={lang}"),
+            _join(kept_dir(out_dir), f"run={prior}", f".lang={lang}.bak-{run_id}"),
+        )
+    # ONE job rewrites every affected leaf: read the leaf dirs with
+    # basePath (run/lang recovered as partition columns), anti-join the
+    # keys once, write staged partitionBy(run, lang) — per-leaf
+    # sequential jobs paid one Spark job's scheduling + write-commit
+    # overhead PER PARTITION (measured 4.7s of a 12.3s incremental run
+    # at 5 leaves; unbounded as touched partitions grow)
+    staged_root = stage_dir(out_dir, run_id, "rewrite")
+    leaf_paths = [
+        _join(kept_dir(out_dir), f"run={prior}", f"lang={lang}")
+        for prior, lang in affected
+    ]
+    (
+        spark.read.option("basePath", kept_dir(out_dir))
+        .parquet(*leaf_paths)
+        .join(F.broadcast(keys), "image_id", "left_anti")
+        .write.mode("overwrite")
+        .partitionBy("run", "lang")
+        .parquet(staged_root)
+    )
     rewritten = []
     for prior, lang in affected:
         dst = _join(kept_dir(out_dir), f"run={prior}", f"lang={lang}")
-        staged = stage_dir(out_dir, run_id, f"rewrite/run={prior}/lang={lang}")
+        staged = _join(staged_root, f"run={prior}", f"lang={lang}")
         backup = _join(kept_dir(out_dir), f"run={prior}", f".lang={lang}.bak-{run_id}")
-        # heal any half-finished swap from a crashed earlier attempt
-        fs.recover_replace_dir(dst, backup)
-        (
-            spark.read.parquet(dst)  # leaf dir: run/lang are path keys
-            .join(F.broadcast(keys), "image_id", "left_anti")
-            .write.mode("overwrite")
-            .parquet(staged)
-        )
+        if not fs.exists(staged):
+            # every row of this leaf was deleted: partitionBy wrote no
+            # dir — swap in an empty one (partition discovery skips it)
+            fs.mkdirs(staged)
         fs.replace_dir(staged, dst, backup)
         rewritten.append(dst)
     return rewritten

@@ -31,6 +31,11 @@ SOURCE_DDL = (
     "caption string, phash long"
 )
 
+#: epochs append O(epoch) marker deltas; every Nth advance compacts
+#: (a full snapshot rewrite per epoch would be O(corpus ids) — the
+#: write cost a small-epoch stream cannot pay at warehouse scale)
+MARKER_COMPACT_EVERY = 8
+
 
 def _process_microbatch(
     batch: DataFrame, epoch_id: int, cfg: PipelineConfig, sink: KeptSink | None = None
@@ -124,6 +129,7 @@ def _process_microbatch(
         out,
         rid,
         new_pairs.unionByName(dups.select("image_id", "content_hash")),
+        compact_every=MARKER_COMPACT_EVERY,
     )
     if persisted:
         decided.unpersist()

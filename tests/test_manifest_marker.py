@@ -127,7 +127,7 @@ def test_marker_snapshot_advances_and_gcs(spark):
     assert latest["run_id"] == "r3"
     snaps = [d for d in os.listdir(root) if d.startswith("snap-")]
     # GC keeps only the latest + its predecessor, regardless of run count
-    assert sorted(snaps) == sorted([latest["path"], latest["prev_path"]])
+    assert sorted(snaps) == sorted([latest["path"], latest["prev"]["path"]])
     # the snapshot IS the marker: latest hash per id, one row per id
     snap = spark.read.parquet(os.path.join(root, latest["path"])).toPandas()
     assert snap["image_id"].is_unique
@@ -190,3 +190,83 @@ def test_manifest_torn_retry_uses_predecessor(spark):
     assert src_manifest.read_manifest(spark, out, exclude_run_id="r9") == {
         "a": (3, 3)
     }
+
+
+def _pairs_df(spark, items):
+    return spark.createDataFrame(
+        [(i, h) for i, h in items], "image_id string, content_hash string"
+    )
+
+
+def _read_marker_set(spark, out, exclude=None):
+    df = lineage.processed_keys(spark, out, exclude_run_id=exclude)
+    return {} if df is None else {r["image_id"]: r["content_hash"] for r in df.collect()}
+
+
+def test_marker_delta_tier_appends_then_compacts(spark):
+    """compact_every=3: two epochs append O(epoch) deltas (snapshot
+    untouched), the third folds everything; latest-wins across the
+    delta order throughout."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    out = os.path.join(BASE, "delta")
+    lineage.advance_marker(spark, out, "e0", _pairs_df(spark, [("a", "h1"), ("b", "h1")]), compact_every=3)
+    root = os.path.join(out, "_marker")
+    m0 = json.loads(open(os.path.join(root, "LATEST")).read())
+    assert m0["deltas"] == [] and m0["path"].startswith("snap-")  # bootstrap compacts
+    lineage.advance_marker(spark, out, "e1", _pairs_df(spark, [("a", "h2"), ("c", "h1")]), compact_every=3)
+    lineage.advance_marker(spark, out, "e2", _pairs_df(spark, [("c", "h2")]), compact_every=3)
+    m2 = json.loads(open(os.path.join(root, "LATEST")).read())
+    assert [d["run_id"] for d in m2["deltas"]] == ["e1", "e2"]
+    assert m2["path"] == m0["path"]  # snapshot untouched by delta appends
+    # merge-on-read: newest delta wins per id
+    assert _read_marker_set(spark, out) == {"a": "h2", "b": "h1", "c": "h2"}
+    # epoch exclusion drops only that epoch's delta
+    assert _read_marker_set(spark, out, exclude="e2") == {"a": "h2", "b": "h1", "c": "h1"}
+    # third advance hits the threshold -> compaction folds all tiers
+    lineage.advance_marker(spark, out, "e3", _pairs_df(spark, [("d", "h1")]), compact_every=3)
+    m3 = json.loads(open(os.path.join(root, "LATEST")).read())
+    assert m3["deltas"] == [] and m3["run_id"] == "e3"
+    assert _read_marker_set(spark, out) == {"a": "h2", "b": "h1", "c": "h2", "d": "h1"}
+    # torn-retry exclusion of the compacting run falls back to the full
+    # pre-compaction state (prev snapshot + the folded deltas)
+    assert _read_marker_set(spark, out, exclude="e3") == {"a": "h2", "b": "h1", "c": "h2"}
+    # GC keeps exactly the referenced dirs
+    names = {
+        n for n in os.listdir(root) if n.startswith(("snap-", "delta-"))
+    }
+    expected = {m3["path"], m3["prev"]["path"]} | {d["name"] for d in m3["prev"]["deltas"]}
+    assert names == expected
+
+
+def test_marker_delta_torn_epoch_retry_is_idempotent(spark):
+    """A retried epoch replaces its own delta (same content, fresh
+    name) and never sees its first attempt's state."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    out = os.path.join(BASE, "retry")
+    lineage.advance_marker(spark, out, "e0", _pairs_df(spark, [("a", "h1")]), compact_every=4)
+    lineage.advance_marker(spark, out, "e1", _pairs_df(spark, [("a", "h2")]), compact_every=4)
+    before = _read_marker_set(spark, out, exclude="e1")
+    assert before == {"a": "h1"}
+    # e1 "crashes" and retries with different content
+    lineage.advance_marker(spark, out, "e1", _pairs_df(spark, [("a", "h3")]), compact_every=4)
+    root = os.path.join(out, "_marker")
+    m = json.loads(open(os.path.join(root, "LATEST")).read())
+    assert [d["run_id"] for d in m["deltas"]] == ["e1"]  # one delta, not two
+    assert _read_marker_set(spark, out) == {"a": "h3"}
+    assert _read_marker_set(spark, out, exclude="e1") == {"a": "h1"}
+
+
+def test_marker_torn_snapshot_retry_forces_compaction(spark):
+    """When the live snapshot belongs to the retrying run, the
+    re-advance must compact (a delta atop its own torn snapshot would
+    leave readers excluding the run nothing to fall back to)."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    out = os.path.join(BASE, "torn_snap")
+    lineage.advance_marker(spark, out, "r1", _pairs_df(spark, [("a", "h1")]))
+    lineage.advance_marker(spark, out, "r2", _pairs_df(spark, [("b", "h1")]))
+    # r2 retries with compact_every high enough that a delta would win
+    lineage.advance_marker(spark, out, "r2", _pairs_df(spark, [("b", "h2")]), compact_every=8)
+    m = json.loads(open(os.path.join(os.path.join(out, "_marker"), "LATEST")).read())
+    assert m["run_id"] == "r2" and m["deltas"] == []
+    assert _read_marker_set(spark, out) == {"a": "h1", "b": "h2"}
+    assert _read_marker_set(spark, out, exclude="r2") == {"a": "h1"}
