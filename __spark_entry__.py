@@ -368,7 +368,9 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     sig = simhash(d, "doc_id", "text")
-    return simhash_near_dups(sig, "doc_id", max_hamming=16)
+    # n_rows from parquet metadata (footer-only job) lets the operator
+    # size its guard + probe radius without a pass over the signatures
+    return simhash_near_dups(sig, "doc_id", max_hamming=16, n_rows=d.count())
 
 
 def q_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,6 +11,8 @@ hex output on both engines).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -317,25 +319,33 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_band_plan(max_hamming: int) -> list[tuple[int, int]]:
-    """(bit_offset, width) per band, sized so pigeonhole GUARANTEES
-    recall at the radius: with b = max_hamming + 1 bands, any pair
-    within hamming ``max_hamming`` has at least one band with ZERO
-    differing bits — an exact band-key match. (Round-2's fixed 4x16
-    layout guaranteed only hamming <= 3 while the flagship query asked
-    for 16; bands must be sized to the radius, the same
-    sizing<->guarantee coupling as similarity.band_sizing.)
+def simhash_band_plan(
+    max_hamming: int, probe_radius: int = 0
+) -> list[tuple[int, int]]:
+    """(bit_offset, width) per band, sized so the GENERALIZED pigeonhole
+    GUARANTEES recall at the radius: with b = ceil((max_hamming+1) /
+    (probe_radius+1)) bands, any pair within hamming ``max_hamming``
+    has at least one band with <= probe_radius differing bits — found
+    by probing every key within that hamming of the query's band key.
+    probe_radius=0 is plain banding (max_hamming+1 bands, exact-match
+    recall; round-2's fixed 4x16 layout guaranteed only hamming <= 3
+    while the flagship query asked for 16 — bands must be sized to the
+    radius, the same sizing<->guarantee coupling as
+    similarity.band_sizing).
 
     The 64 bits spread as evenly as possible: (64 mod b) bands get one
     extra bit. Cost model (document, don't hide): expected candidate
-    comparisons are n^2 * sum_b 2^-w_b — narrow bands (large radius)
-    degrade toward the quadratic scan, because a quarter of all bits
-    differing simply is not "near". Callers trading radius for cost at
-    10^12 rows should lower max_hamming, not raise the guard.
+    comparisons are n^2 * sum_b C(w_b, <=t) / 2^w_b — probing trades
+    probe-row volume (n * b * C(w, <=t)) for FEWER, more discriminative
+    buckets, a ~5x candidate cut at radius 16 (see
+    simhash_probe_radius). High radii still degrade toward the
+    quadratic scan, because a quarter of all bits differing simply is
+    not "near"; callers at 10^12 rows should lower max_hamming, not
+    raise the guard.
     """
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    b = max_hamming + 1
+    b = -(-(max_hamming + 1) // (probe_radius + 1))
     base, extra = divmod(SIMHASH_BITS, b)
     plan, off = [], 0
     for i in range(b):
@@ -343,6 +353,54 @@ def simhash_band_plan(max_hamming: int) -> list[tuple[int, int]]:
         plan.append((off, w))
         off += w
     return plan
+
+
+def _probe_masks(width: int, t: int) -> list[int]:
+    """Every XOR mask of <= t bits within a width-bit band (the
+    multi-probe neighborhood: key ^ mask enumerates all keys within
+    hamming t of key)."""
+    from itertools import combinations
+
+    masks = [0]
+    for k in range(1, t + 1):
+        for bits in combinations(range(width), k):
+            m = 0
+            for bit in bits:
+                m |= 1 << bit
+            masks.append(m)
+    return masks
+
+
+def _n_probe_masks(width: int, t: int) -> int:
+    return sum(math.comb(width, k) for k in range(t + 1))
+
+
+#: measured cost ratio of one shuffled probe ROW (explode + exchange +
+#: hash-probe) to one candidate-pair COMPARISON (codegen bit_count on
+#: already-joined rows): at n=5000/radius 16, t=2 cuts candidates 16M->3M
+#: yet ran SLOWER than t=0 (3.1s vs 2.4s steady) because 1.9M probe rows
+#: cost more than 13M saved comparisons — comparisons are ~ns, shuffled
+#: rows ~100ns+
+PROBE_ROW_COST = 50.0
+
+
+def simhash_probe_radius(max_hamming: int, n_rows: int) -> int:
+    """Probe radius minimizing estimated work: weighted probe-row volume
+    PROBE_ROW_COST * n * b * C(w,<=t) plus expected candidate pairs
+    n^2/2 * sum C(w,<=t)/2^w. At radius 16 the optimum flips from t=0
+    (17 exact-match bands, candidate factor 1.31) to t=2 (6 bands of
+    ~11 bits, factor 0.24 — a 5x candidate cut) once n passes ~3x10^4,
+    where the quadratic term actually dominates; below that the
+    exact-match plan's cheap narrow bands win."""
+    best_t, best_cost = 0, float("inf")
+    for t in range(0, 4):
+        plan = simhash_band_plan(max_hamming, t)
+        probes = sum(_n_probe_masks(w, t) for _, w in plan)
+        cand = sum(_n_probe_masks(w, t) / (1 << w) for _, w in plan)
+        cost = PROBE_ROW_COST * n_rows * probes + (n_rows * n_rows / 2.0) * cand
+        if cost < best_cost:
+            best_t, best_cost = t, cost
+    return best_t
 
 
 def _segment(col: Column, offset: int, width: int) -> Column:
@@ -354,35 +412,53 @@ def simhash_near_dups(
     id_col: str,
     max_hamming: int = 8,
     max_bucket_size: int | str | None = "auto",
+    probe_radius: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs (id_a, id_b, hamming) by radius-sized simhash
-    banding: recall is 1.0 by pigeonhole (simhash_band_plan) before the
-    hot-bucket guard, verified by tests/test_simhash_recall.py against
-    the exact all-pairs scan at the flagship radius 16.
+    """Near-dup pairs (id_a, id_b, hamming) by radius-sized multi-probe
+    simhash banding: recall is 1.0 by generalized pigeonhole
+    (simhash_band_plan) before the hot-bucket guard, verified by
+    tests/test_simhash_recall.py against the exact all-pairs scan at
+    the flagship radius 16.
 
-    Banding turns the quadratic scan into an equi-join per band
-    (shuffle on (band, band_key)); the hamming filter runs MAP-SIDE on
-    the join output (JVM bit_count, codegen), so the distinct that
-    dedups pairs co-occurring in several bands shuffles only TRUE pairs
-    — at radius-16 band widths the join emits ~n^2 * sum 2^-w candidate
-    rows, and shuffling those through a distinct (the round-2 order)
-    would dominate the query.
+    Structure: b bands of ~64/b bits; the INDEX side holds each
+    signature's exact band keys, the PROBE side explodes every key
+    within hamming ``probe_radius`` of its own (key XOR the <=t-bit
+    masks — pure JVM, no UDF), and the equi-join on (band, probe_key =
+    index_key) finds every pair some band of which differs by <= t
+    bits. One probe direction suffices: hamming is symmetric, so
+    probes(x) hits key(y) iff probes(y) hits key(x), and the id_a <
+    id_b constraint picks the surviving orientation. ``probe_radius``
+    defaults to the cost-model optimum (simhash_probe_radius): wider
+    bands with probing cut radius-16 candidates ~5x vs exact-match
+    banding (0.24*n^2 vs 1.31*n^2) for n*372 probe rows.
 
-    The guard drops over-full buckets (non-discriminative, quadratic).
-    ``max_bucket_size="auto"`` sizes it at 8x the uniform expectation
-    n / 2^min_width so it only removes genuinely-hot keys, never the
-    typical bucket — a fixed guard under narrow bands silently zeroes
-    recall exactly like the embedding-LSH failure band_sizing() fixed
-    (measured recall 0.009 with fixed r). Pass an int to pin it, or
-    None to disable (exact recall, worst-case cost).
+    The hamming filter runs MAP-SIDE on the join output (JVM
+    bit_count, codegen), so the distinct that dedups pairs co-occurring
+    in several bands shuffles only TRUE pairs.
+
+    The guard drops over-full INDEX buckets (non-discriminative,
+    quadratic). ``max_bucket_size="auto"`` sizes it at 8x the uniform
+    expectation n / 2^min_width so it only removes genuinely-hot keys,
+    never the typical bucket — a fixed guard under narrow bands
+    silently zeroes recall exactly like the embedding-LSH failure
+    band_sizing() fixed (measured recall 0.009 with fixed r). Pass an
+    int to pin it, or None to disable.
+
+    ``n_rows``: pass the (cheap, parquet-metadata) row count to skip
+    the counting job the auto guard/probe sizing otherwise runs.
     """
-    # one pass, explode into b (band, band_key) rows — a b-way unionAll
-    # would re-evaluate the simhash UDF per branch; pinned because the
-    # guard aggregation and both self-join sides each re-trigger the
-    # upstream otherwise (dedup.pin rationale)
+    # pinned: probe sizing/guard count, the guard aggregation and both
+    # join sides would each re-trigger the upstream Arrow UDF otherwise
+    # (dedup.pin rationale)
     from .dedup import pin
 
-    plan = simhash_band_plan(max_hamming)
+    sig = pin(sig.select(F.col(id_col), F.col("simhash")))
+    if n_rows is None and (probe_radius is None or max_bucket_size == "auto"):
+        n_rows = sig.count()
+    if probe_radius is None:
+        probe_radius = simhash_probe_radius(max_hamming, n_rows)
+    plan = simhash_band_plan(max_hamming, probe_radius)
     banded = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -390,9 +466,7 @@ def simhash_near_dups(
             F.array(*[_segment(F.col("simhash"), off, w) for off, w in plan])
         ).alias("band", "band_key"),
     )
-    banded = pin(banded)
     if max_bucket_size == "auto":
-        n_rows = banded.count() // len(plan)
         min_width = min(w for _, w in plan)
         max_bucket_size = max(64, -(-8 * n_rows // (1 << min_width)))
     if max_bucket_size is not None:
@@ -403,14 +477,36 @@ def simhash_near_dups(
             .select("band", "band_key")
         )
         banded = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
-    left = banded.alias("l")
+    if probe_radius == 0:
+        probe = banded.withColumnRenamed("band_key", "probe_key")
+    else:
+        # per-width mask arrays (at most two distinct widths), selected
+        # by a when-chain — all JVM literals, the banding stays codegen
+        widths = sorted({w for _, w in plan})
+        mask_arr = {
+            w: F.array(*[F.lit(m) for m in _probe_masks(w, probe_radius)])
+            for w in widths
+        }
+        sel = mask_arr[plan[0][1]]
+        for i, (_, w) in enumerate(plan):
+            if w != plan[0][1]:
+                sel = F.when(F.col("band") == i, mask_arr[w]).otherwise(sel)
+        probe = banded.select(
+            id_col, "simhash", "band", "band_key", F.explode(sel).alias("_m")
+        ).select(
+            id_col,
+            "simhash",
+            "band",
+            F.col("band_key").bitwiseXOR(F.col("_m")).alias("probe_key"),
+        )
+    left = probe.alias("l")
     right = banded.alias("r")
     xor = F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
     return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.probe_key") == F.col("r.band_key"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .where(F.bit_count(xor) <= max_hamming)  # map-side, pre-distinct

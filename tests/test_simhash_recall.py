@@ -40,25 +40,27 @@ def test_band_plan_covers_radius_and_all_bits():
 
 
 def test_band_plan_pigeonhole_property():
-    """Any pair within the radius agrees exactly on >=1 band (the
-    recall-guarantee mechanism, checked on random signatures)."""
+    """Any pair within the radius has >=1 band differing by at most the
+    probe radius (the recall-guarantee mechanism, checked on random
+    signatures for exact-match banding AND the multi-probe plans)."""
     rng = np.random.default_rng(7)
     for max_hamming in (3, 8, 16):
-        plan = simhash_band_plan(max_hamming)
-        base = rng.integers(0, 2**63, size=200, dtype=np.int64)
-        for d in (1, max_hamming // 2, max_hamming):
-            flips = np.zeros_like(base)
-            for row in range(len(base)):
-                bits = rng.choice(64, size=d, replace=False)
-                for b in bits:
-                    flips[row] ^= np.int64(1) << np.int64(int(b))
-            other = base ^ flips
-            xor = (base ^ other).astype(np.uint64)
-            clean = np.zeros(len(base), dtype=bool)
-            for off, w in plan:
-                seg = (xor >> np.uint64(off)) & np.uint64((1 << w) - 1)
-                clean |= seg == 0
-            assert clean.all(), f"radius {max_hamming}, d={d}"
+        for t in (0, 1, 2, 3):
+            plan = simhash_band_plan(max_hamming, probe_radius=t)
+            base = rng.integers(0, 2**63, size=200, dtype=np.int64)
+            for d in (1, max_hamming // 2, max_hamming):
+                flips = np.zeros_like(base)
+                for row in range(len(base)):
+                    bits = rng.choice(64, size=d, replace=False)
+                    for b in bits:
+                        flips[row] ^= np.int64(1) << np.int64(int(b))
+                xor = flips.astype(np.uint64)
+                found = np.zeros(len(base), dtype=bool)
+                for off, w in plan:
+                    seg = (xor >> np.uint64(off)) & np.uint64((1 << w) - 1)
+                    pop = np.array([bin(int(x)).count("1") for x in seg])
+                    found |= pop <= t
+                assert found.all(), f"radius {max_hamming}, t={t}, d={d}"
 
 
 def test_band_plan_rejects_out_of_range():
@@ -129,3 +131,27 @@ def test_guard_none_is_lossless_and_tight_radius_subsets(spark):
         sig.unpersist()
     assert guarded <= unguarded
     assert tighter <= unguarded
+
+
+@pytest.mark.skipif(not os.path.exists(DOCS), reason="driver testdata absent")
+def test_multi_probe_plans_are_lossless_unguarded(spark):
+    """probe_radius 1/2 (the large-n plans) must find exactly the t=0
+    pair set when the guard is off — the generalized pigeonhole is a
+    guarantee, not an approximation."""
+    docs = spark.read.parquet(DOCS).select("doc_id", "text").limit(300)
+    sig = simhash(docs, "doc_id", "text").persist()
+    try:
+        sets = {}
+        for t in (0, 1, 2):
+            sets[t] = {
+                (r.id_a, r.id_b, r.hamming)
+                for r in simhash_near_dups(
+                    sig, "doc_id", max_hamming=12,
+                    max_bucket_size=None, probe_radius=t,
+                ).collect()
+            }
+    finally:
+        sig.unpersist()
+    assert sets[0], "no pairs at radius 12 — corpus drift"
+    assert sets[1] == sets[0]
+    assert sets[2] == sets[0]
