@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import gzip
 import re
+import struct
 import zlib
 
 import numpy as np
@@ -253,7 +254,99 @@ _AUDIO_MAGIC = (
     (b"\xff\xf3", "mp3"),
     (b"OggS", "ogg"),
     (b"fLaC", "flac"),
+    (b"ADP1", "adpcm"),
 )
+
+# IMA-ADPCM reference tables (IMA Digital Audio Pack, public spec —
+# the same tables every DVI4/WAV-0x11 implementation carries)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def encode_adpcm(samples: np.ndarray, sample_rate: int) -> bytes:
+    """REAL IMA-ADPCM encode: float32 mono [-1,1] -> 4 bits/sample
+    (4:1 vs int16) in a minimal ADP1 container (magic, rate, n_samples,
+    initial predictor/index, packed nibbles). The quantizer is the
+    standard adaptive-step predictor — the same math as WAV format
+    0x11 / DVI4, without that format's block-header bookkeeping."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = np.round(pcm * 32767.0).astype(np.int32)
+    pred, idx = int(pcm[0]) if len(pcm) else 0, 0
+    codes = np.empty(len(pcm), dtype=np.uint8)
+    for i, target in enumerate(pcm):
+        step = int(_IMA_STEPS[idx])
+        diff = int(target) - pred
+        code = 0
+        if diff < 0:
+            code = 8
+            diff = -diff
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        codes[i] = code
+        # decoder-mirrored reconstruction keeps the predictors in sync
+        delta = step >> 3
+        if code & 4:
+            delta += step
+        if code & 2:
+            delta += step >> 1
+        if code & 1:
+            delta += step >> 2
+        pred += -delta if code & 8 else delta
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[code & 7])))
+    if len(codes) % 2:
+        codes = np.append(codes, 0)
+    packed = (codes[0::2] | (codes[1::2] << 4)).astype(np.uint8).tobytes()
+    head = struct.pack(
+        "<4sIIhB", b"ADP1", sample_rate, len(pcm),
+        int(pcm[0]) if len(pcm) else 0, 0,
+    )
+    return head + packed
+
+
+def decode_adpcm(blob: bytes) -> tuple[int, np.ndarray]:
+    """ADP1 -> (sample_rate, float32 mono waveform). Sequential by
+    nature (each sample feeds the predictor) — per-blob scalar work
+    inside an Arrow batch, the same idiom as the image codecs."""
+    if blob[:4] != b"ADP1" or len(blob) < 15:
+        raise ValueError("not an ADP1 payload")
+    _, rate, n, pred, idx = struct.unpack("<4sIIhB", blob[:15])
+    packed = np.frombuffer(blob[15:], dtype=np.uint8)
+    if len(packed) * 2 < n:
+        raise ValueError("truncated ADP1 payload")
+    codes = np.empty(len(packed) * 2, dtype=np.uint8)
+    codes[0::2] = packed & 0x0F
+    codes[1::2] = packed >> 4
+    codes = codes[:n]
+    out = np.empty(n, dtype=np.int32)
+    pred, idx = int(pred), int(idx)
+    for i, code in enumerate(codes):
+        step = int(_IMA_STEPS[idx])
+        delta = step >> 3
+        if code & 4:
+            delta += step
+        if code & 2:
+            delta += step >> 1
+        if code & 1:
+            delta += step >> 2
+        pred += -delta if code & 8 else delta
+        pred = max(-32768, min(32767, pred))
+        out[i] = pred
+        idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[code & 7])))
+    return rate, out.astype(np.float32) / 32768.0
 
 
 def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
@@ -308,7 +401,16 @@ def decode_audio_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 row["issue_note"] = "null payload"
             elif any(blob[: len(m)] == m for m, _ in _AUDIO_MAGIC):
                 codec = next(c for m, c in _AUDIO_MAGIC if blob[: len(m)] == m)
-                decode_compressed_audio(blob, codec)  # raises NotImplementedError
+                rate, samples = decode_compressed_audio(blob, codec)
+                row.update(
+                    sample_rate=rate,
+                    n_channels=1,
+                    n_samples=len(samples),
+                    duration_s=len(samples) / rate if rate else 0.0,
+                    rms=float(np.sqrt(np.mean(np.square(samples)))) if len(samples) else 0.0,
+                    peak=float(np.max(np.abs(samples))) if len(samples) else 0.0,
+                    decode_ok=True,
+                )
             else:
                 rate, nch, samples = decode_wav(blob)
                 row.update(
@@ -332,14 +434,20 @@ def decode_audio_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def decode_compressed_audio(blob: bytes, codec: str) -> np.ndarray:
-    """STUB — no compressed-audio codec (ffmpeg/soundfile) in this
-    image. Contract: decode ``blob`` to a float32 mono waveform in
-    [-1, 1] and return it; decode_audio_batch then computes the same
-    AUDIO_FEATURES_SCHEMA features it computes for WAV."""
+def decode_compressed_audio(blob: bytes, codec: str) -> tuple[int, np.ndarray]:
+    """Compressed audio -> (sample_rate, float32 mono waveform).
+
+    REAL for IMA-ADPCM (ADP1 container, encode_adpcm/decode_adpcm —
+    the standard adaptive-step quantizer, 4:1 vs int16, round-trip
+    SNR >= 25 dB contract tested in test_sources_codecs.py). mp3/ogg/
+    flac need codec libraries absent from this image and stay
+    documented stubs: recognizably compressed payloads route as issue
+    rows naming the codec, never kill the task."""
+    if codec == "adpcm":
+        return decode_adpcm(blob)
     raise NotImplementedError(
         f"codec_unavailable:{codec} — plug a decoder into "
-        "decode_compressed_audio returning float32 mono PCM"
+        "decode_compressed_audio returning (sample_rate, float32 mono PCM)"
     )
 
 

@@ -164,6 +164,59 @@ def test_wav_decode_features_via_spark(spark):
     assert "wav decode failed" in out.loc["corrupt"].issue_note
 
 
+def test_adpcm_roundtrip_snr_and_compression():
+    """REAL compressed-audio codec: IMA-ADPCM round-trip SNR >= 25 dB
+    at 4:1 compression vs int16 (the standard adaptive-step quantizer
+    is lossy but musical-signal-transparent for features)."""
+    rate = 16000
+    t = np.arange(rate) / rate
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 1313 * t)).astype(
+        np.float32
+    )
+    blob = codecs.encode_adpcm(sig, rate)
+    assert blob[:4] == b"ADP1"
+    assert len(blob) <= len(sig) // 2 + 32  # 4 bits/sample + header
+    rate2, out = codecs.decode_adpcm(blob)
+    assert rate2 == rate and len(out) == len(sig)
+    err = out - sig
+    snr = 10 * np.log10(float(np.mean(sig**2)) / float(np.mean(err**2)))
+    assert snr >= 25.0, f"SNR {snr:.1f} dB"
+
+
+def test_adpcm_features_via_spark(spark):
+    """ADP1 payloads decode for real through the batch surface (the
+    mp3/ogg/flac seam stays issue-routed); features match the WAV path
+    on the same signal to ADPCM quantization tolerance; corrupt ADP1
+    becomes an issue row."""
+    rate = 8000
+    t = np.arange(rate // 2) / rate
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "clip_id": ["adpcm", "wav", "truncated"],
+            "bytes": [
+                codecs.encode_adpcm(sine, rate),
+                _wav_bytes(sine, rate, 1, 2),
+                codecs.encode_adpcm(sine, rate)[:20],
+            ],
+        }
+    )
+    out = (
+        spark.createDataFrame(pdf)
+        .mapInPandas(
+            lambda it: (codecs.decode_audio_batch(p) for p in it),
+            schema=codecs.AUDIO_FEATURES_SCHEMA,
+        )
+        .toPandas()
+        .set_index("clip_id")
+    )
+    a, w = out.loc["adpcm"], out.loc["wav"]
+    assert a.decode_ok and a.sample_rate == rate and a.n_samples == len(sine)
+    assert abs(a.rms - w.rms) < 0.01 and abs(a.peak - w.peak) < 0.03
+    tr = out.loc["truncated"]
+    assert not tr.decode_ok and "truncated" in tr.issue_note
+
+
 def test_decode_xml_entity_merge_and_charset(spark):
     """Full DecodeXML parity (utils/parse.go:13-78): internal DOCTYPE
     entities override external (MergeEntities order), charset honored
