@@ -270,3 +270,25 @@ def test_marker_torn_snapshot_retry_forces_compaction(spark):
     assert m["run_id"] == "r2" and m["deltas"] == []
     assert _read_marker_set(spark, out) == {"a": "h1", "b": "h2"}
     assert _read_marker_set(spark, out, exclude="r2") == {"a": "h1"}
+
+
+def test_read_changed_files_preserves_partition_columns(spark):
+    """A partitioned source layout (key=value dirs) must keep its
+    partition columns when only some leaf files are read — basePath
+    wiring (a bare file-list read silently DROPS partition columns)."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    src = os.path.join(BASE, "psrc")
+    for part in ("a", "b"):
+        spark.createDataFrame(
+            [(f"{part}{i}", i) for i in range(5)], "image_id string, v int"
+        ).write.mode("overwrite").parquet(os.path.join(src, f"grp={part}"))
+    files = src_manifest.list_source_files(spark, src)
+    assert len(files) >= 2
+    changed = [f["path"] for f in files if "grp=b" in f["path"]]
+    df = src_manifest.read_changed_files(spark, src, changed)
+    rows = df.select("image_id", "grp", "v").collect()
+    assert rows and all(r["grp"] == "b" for r in rows)
+    assert {r["image_id"] for r in rows} == {f"b{i}" for i in range(5)}
+    # empty change set keeps the schema too (footer-only scan)
+    empty = src_manifest.read_changed_files(spark, src, [])
+    assert "grp" in empty.columns and empty.count() == 0

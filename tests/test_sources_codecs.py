@@ -92,12 +92,65 @@ def test_resize_rgb_and_thumbnails(spark):
     assert out[1].thumb is None and out[1].thumb_w == -1
 
 
-def test_video_stub_raises_with_contract(spark):
-    pdf = pd.DataFrame({"clip_id": ["c1"], "bytes": [b"\x00\x01"]})
-    with pytest.raises(NotImplementedError, match="video decode"):
-        codecs.sample_video_frames(pdf)
+def test_foreign_video_and_audio_codecs_issue_route(spark):
+    pdf = pd.DataFrame(
+        {
+            "clip_id": ["unknown", "mp4ish"],
+            "bytes": [b"\x00\x01", b"\x00\x00\x00\x18ftypisom" + b"\x00" * 32],
+        }
+    )
+    out = codecs.sample_video_frames(pdf).set_index("clip_id")
+    assert not out.loc["unknown"].decode_ok
+    assert "codec_unavailable:unknown" in out.loc["unknown"].issue_note
+    assert "codec_unavailable:mp4" in out.loc["mp4ish"].issue_note
     with pytest.raises(NotImplementedError, match="codec_unavailable:mp3"):
         codecs.decode_compressed_audio(b"ID3abc", "mp3")
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0**2 / mse)
+
+
+def test_mv01_video_frame_sampling_via_spark(spark):
+    """REAL video path: 10-frame MV01 clip at 200 ms/frame, sampled
+    every 500 ms -> frames 0/3/6/9, decoded pixels within the DCQ1
+    lossy contract (PSNR >= 40) of the originals, unsampled frames
+    untouched; truncated payloads issue-route."""
+    from gobulk_spark.functions.imaging import decode_png
+
+    rng = np.random.default_rng(5)
+    frames = [
+        np.clip(
+            np.linspace(0, 200, 24 * 32 * 3).reshape(24, 32, 3) + i * 5
+            + rng.integers(0, 20, (24, 32, 3)),
+            0, 255,
+        ).astype(np.uint8)
+        for i in range(10)
+    ]
+    blob = codecs.encode_video(frames, frame_interval_ms=200)
+    pdf = pd.DataFrame(
+        {"clip_id": ["clip", "cut"], "bytes": [blob, blob[: len(blob) // 2]]}
+    )
+    out = (
+        spark.createDataFrame(pdf)
+        .mapInPandas(
+            lambda it: (codecs.sample_video_frames(p, every_ms=500) for p in it),
+            schema=codecs.VIDEO_FRAMES_SCHEMA,
+        )
+        .toPandas()
+    )
+    clip = out[out.clip_id == "clip"].sort_values("frame_idx")
+    assert list(clip.frame_idx) == [0, 3, 6, 9]
+    assert list(clip.ts_ms) == [0, 600, 1200, 1800]
+    assert clip.decode_ok.all()
+    for _, r in clip.iterrows():
+        decoded = decode_png(bytes(r.frame_png))
+        assert decoded.shape == (24, 32, 3) and (r.w, r.h) == (32, 24)
+        assert _psnr(decoded, frames[int(r.frame_idx)]) >= 40.0
+    cut = out[out.clip_id == "cut"]
+    assert len(cut) == 1 and not cut.iloc[0].decode_ok
+    assert "video decode failed" in cut.iloc[0].issue_note
 
 
 def _wav_bytes(samples: np.ndarray, rate: int, nch: int, width: int) -> bytes:
