@@ -579,6 +579,63 @@ def q_embedding_exact_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top-2-gram fraction, duplicate
+    3-gram fraction) — zero-shuffle column expressions."""
+    from gobulk_spark.operators.quality import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-doc shared-segment stats over 8-token segments."""
+    from gobulk_spark.operators.quality import segment_dedup_stats
+
+    return segment_dedup_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train docs sharing a 5-gram with the eval split (doc_id % 29 == 0):
+    benchmark-contamination scan with a broadcast eval side."""
+    from gobulk_spark.operators.quality import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 29 == 0)
+    tr = d.where(F.col("doc_id") % 29 != 0)
+    return contamination_check(tr, ev, "doc_id", "text", n=5)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-based train/val/test assignment (90/5/5)."""
+    from gobulk_spark.operators.quality import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id", 0.9, 0.05).select("doc_id", "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (en 50%, de 25%, rest 10%)."""
+    from gobulk_spark.operators.quality import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(d, "doc_id", "lang", {"en": 0.5, "de": 0.25}, 0.1)
+    return out.select("doc_id", "lang")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS (exact jaccard >= 0.5 over 2-gram shingles) folded
+    into CLUSTERS via distributed connected components; cluster_id is the
+    min doc id (the canonical survivor)."""
+    from gobulk_spark.operators.dedup import ngram_jaccard_pairs
+    from gobulk_spark.operators.graph import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=2, min_jaccard=0.5, max_shingle_df=64
+    )
+    return dedup_clusters(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "quality_rule_filter": q_quality_rule_filter,
@@ -609,6 +666,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_purchase_view": q_asof_join_purchase_view,
         "salted_join_revenue": q_salted_join_revenue,
         "embedding_exact_near_dups": q_embedding_exact_near_dups,
+        "repetition_stats": q_repetition_stats,
+        "segment_dedup": q_segment_dedup,
+        "contamination_check": q_contamination_check,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "dedup_clusters": q_dedup_clusters,
         # rows-only (vectorized Arrow UDF / seeded-RNG operators)
         "flagship_quality_filter": q_flagship_quality_filter,
         "simhash_near_dups": q_simhash_near_dups,
@@ -919,5 +982,150 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +')) AS tok,
+                       unnest(range(1, len(string_split_regex(trim(text), ' +')) + 1)) AS pos
+                FROM documents
+            ),
+            g2 AS (
+                SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS g
+                FROM toks t1
+                JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+            ),
+            g3 AS (
+                SELECT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS g
+                FROM toks t1
+                JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+                JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+            ),
+            top2 AS (
+                SELECT doc_id, round(max(c) / sum(c), 6) AS top_2gram_frac
+                FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+                GROUP BY doc_id
+            ),
+            d3 AS (
+                SELECT doc_id,
+                       round((count(*) - count(DISTINCT g)) / count(*), 6)
+                           AS dup_3gram_frac
+                FROM g3 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(top_2gram_frac, 0.0) AS top_2gram_frac,
+                   coalesce(dup_3gram_frac, 0.0) AS dup_3gram_frac
+            FROM documents d
+            LEFT JOIN top2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+        """,
+        "segment_dedup": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +')) AS tok,
+                       unnest(range(1, len(string_split_regex(trim(text), ' +')) + 1)) AS pos
+                FROM documents
+            ),
+            segs AS (
+                SELECT doc_id, (pos - 1) // 8 AS seg_id,
+                       md5(string_agg(tok, ' ' ORDER BY pos)) AS seg_hash
+                FROM toks GROUP BY doc_id, (pos - 1) // 8
+            ),
+            dfreq AS (SELECT seg_hash, count(DISTINCT doc_id) AS ndocs
+                      FROM segs GROUP BY seg_hash)
+            SELECT s.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(sum(CASE WHEN dfreq.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_shared_segments,
+                   round(sum(CASE WHEN dfreq.ndocs > 1 THEN 1 ELSE 0 END) / count(*), 6)
+                       AS shared_frac
+            FROM segs s JOIN dfreq USING (seg_hash)
+            GROUP BY s.doc_id
+        """,
+        "contamination_check": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +')) AS tok,
+                       unnest(range(1, len(string_split_regex(trim(text), ' +')) + 1)) AS pos
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT t1.doc_id,
+                       t1.tok || ' ' || t2.tok || ' ' || t3.tok || ' ' ||
+                       t4.tok || ' ' || t5.tok AS g
+                FROM toks t1
+                JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+                JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+                JOIN toks t4 ON t1.doc_id = t4.doc_id AND t4.pos = t1.pos + 3
+                JOIN toks t5 ON t1.doc_id = t5.doc_id AND t5.pos = t1.pos + 4
+            ),
+            ev AS (SELECT DISTINCT g, doc_id AS eval_id FROM sh WHERE doc_id % 29 = 0),
+            tr AS (SELECT * FROM sh WHERE doc_id % 29 != 0)
+            SELECT tr.doc_id,
+                   CAST(count(DISTINCT tr.g) AS BIGINT) AS n_hit_ngrams,
+                   CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+            FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR) || '|' || lang), 1, 2) <
+                  CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40' ELSE '19' END
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +')) AS tok,
+                       unnest(range(1, len(string_split_regex(trim(text), ' +')) + 1)) AS pos
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok AS shingle
+                FROM toks t1
+                JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+            ),
+            shc AS (
+                SELECT sh.doc_id, sh.shingle FROM sh
+                JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle) d
+                  ON d.shingle = sh.shingle
+                WHERE d.df <= 64
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM shc a JOIN shc b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            edges AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+            ),
+            ed2 AS (SELECT id_a AS a, id_b AS b FROM edges
+                    UNION ALL SELECT id_b, id_a FROM edges),
+            nodes AS (SELECT DISTINCT a AS node FROM ed2),
+            reach AS (
+                SELECT node, node AS lbl FROM nodes
+                UNION
+                SELECT e.b AS node, r.lbl FROM reach r JOIN ed2 e ON e.a = r.node
+                WHERE r.lbl < e.b
+            ),
+            cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                   FROM reach GROUP BY node),
+            sz AS (SELECT cluster_id, count(*) AS cluster_size
+                   FROM cc GROUP BY cluster_id)
+            SELECT CAST(cc.doc_id AS BIGINT) AS doc_id,
+                   CAST(cc.cluster_id AS BIGINT) AS cluster_id,
+                   CAST(sz.cluster_size AS BIGINT) AS cluster_size
+            FROM cc JOIN sz USING (cluster_id)
         """,
     }

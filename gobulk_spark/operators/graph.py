@@ -1,0 +1,107 @@
+"""Connected components over near-duplicate pair edges → dedup clusters.
+
+Near-dup detection (minhash/simhash/embedding banding) emits PAIRS; what
+a curation pipeline actually needs is CLUSTERS — "these 7 docs are all
+the same article" — so it can keep one canonical survivor per cluster.
+Pairs → clusters is connected components, the one genuinely iterative
+algorithm in the dedup family (gobulk has no analogue; its dedup is the
+exact content-hash tier, tracker/gorm.go:441-449).
+
+Implementation: distributed min-label propagation. Each round every node
+adopts the smallest label among itself and its neighbours; rounds repeat
+until a fixpoint. Cost per round is one shuffle of the edge list; the
+number of rounds is the graph diameter. Near-dup graphs are dense
+clusters with tiny diameters (near-cliques: if a~b and b~c, a~c almost
+always), so 2-4 rounds close real corpora — the O(log n) large-star /
+small-star variant (Kiveris et al., "Connected Components in MapReduce")
+is the documented upgrade path if an adversarial long-chain graph ever
+shows up; same seam, same contract.
+
+Scale notes: labels and edges are (long, long) pairs — narrow shuffles
+regardless of document size; `localCheckpoint` truncates the iterative
+lineage each round (the classic iterative-DataFrame OOM trap); the
+convergence probe is an aggregate (`count`), never a collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) for every node in `edges`; cluster_id is the
+    smallest node id in the component (deterministic canonical label).
+
+    Only nodes that appear in at least one edge are returned — isolated
+    documents are their own cluster by definition and joining them in is
+    the caller's (cheap, optional) left join.
+    """
+    ed2 = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    ed2 = ed2.unionByName(ed2.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    ed2 = ed2.dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
+    labels = ed2.select(F.col("a").alias("node")).dropDuplicates(
+        ["node"]
+    ).withColumn("lbl", F.col("node"))
+    for _ in range(max_iter):
+        nbr_min = (
+            ed2.join(labels, ed2["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "graph diameter exceeds the near-dup assumption; use the "
+            "large-star/small-star variant"
+        )
+    return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup pairs → per-doc cluster assignment with cluster size.
+
+    Output: (doc_id, cluster_id, cluster_size). The canonical survivor
+    of each cluster is `cluster_id` itself (min id — same deterministic
+    min-survivor rule as exact dedup, operators/dedup.py).
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long"),
+            "cluster_size",
+        )
+    )

@@ -1,0 +1,219 @@
+"""Training-data curation signals: repetition, cross-doc segment dedup,
+benchmark contamination, deterministic splits and stratified sampling.
+
+These are the corpus-hygiene operators an LLM data pipeline runs after
+the per-row quality rules (gobulk's Plan phase, planner.go:44-111) and
+before training: Gopher-style repetition signals (Rae et al. 2021 §A1.1),
+CCNet-style shared-segment detection (Wenzek et al. 2020 — paragraph
+dedup re-expressed over fixed-width token segments, since this corpus is
+single-line), eval-set n-gram contamination checks (GPT-3 paper §C), and
+hash-based deterministic splits (reproducibility: the split must not
+change when the corpus is re-partitioned or re-ordered).
+
+Design rules, in force throughout:
+- per-document signals are pure column expressions (zero shuffle,
+  whole-stage codegen) — at 10^12 rows a shuffle for a per-row stat is
+  the difference between a map job and a cluster-wide sort;
+- corpus-wide signals (segment document-frequency, contamination) shuffle
+  on the *hash*, never the text, and the eval side of contamination is
+  broadcast (benchmarks are small by construction);
+- everything md5/ASCII so DuckDB oracles reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _ngram_occurrences(text: Column, n: int) -> Column:
+    """ALL word n-gram occurrences in order (unlike text.shingles, which
+    is distinct-set semantics for Jaccard) — repetition signals need the
+    multiset. Built by direct element access, not slice (see
+    text.shingles for the O(len^2) slice-copy trap)."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + kk) for kk in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_frac(text: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences taken by the single most frequent
+    n-gram (Gopher's "top n-gram fraction"; high = boilerplate loops).
+
+    Pure column expression: counts each distinct gram with a
+    filter-inside-transform. O(distinct x total) per row — bounded by
+    doc length squared, which is the right trade at scale: the
+    alternative (explode + groupBy) shuffles every n-gram of the corpus
+    to compute a per-document number.
+    """
+    g = _ngram_occurrences(text, n)
+    counts = F.transform(
+        F.array_distinct(g), lambda d: F.size(F.filter(g, lambda x: x == d))
+    )
+    return F.when(
+        F.size(g) > 0, F.array_max(counts) / F.size(g)
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac(text: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier one
+    (Gopher's "duplicate n-gram fraction"): (total - distinct) / total.
+    Zero-shuffle column expression."""
+    g = _ngram_occurrences(text, n)
+    return F.when(
+        F.size(g) > 0,
+        (F.size(g) - F.size(F.array_distinct(g))) / F.size(g),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 2, dup_n: int = 3
+) -> DataFrame:
+    """Per-document repetition signals — one narrow projection, no
+    shuffle, no UDF. Survives any scale the scan survives."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        F.round(top_ngram_frac(t, top_n), 6).alias(f"top_{top_n}gram_frac"),
+        F.round(dup_ngram_frac(t, dup_n), 6).alias(f"dup_{dup_n}gram_frac"),
+    )
+
+
+def segment_hashes(
+    df: DataFrame, id_col: str, text_col: str, seg_len: int = 8
+) -> DataFrame:
+    """(id, seg_hash) for consecutive non-overlapping seg_len-token
+    segments — the CCNet paragraph-hash analogue for single-line docs.
+    Only the 32-char md5 leaves the row; segment text never shuffles."""
+    toks = tokens(F.col(text_col))
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(toks, i * seg_len + 1, F.lit(seg_len)))
+        ),
+    )
+    return df.select(id_col, F.explode(segs).alias("seg_hash"))
+
+
+def segment_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, seg_len: int = 8
+) -> DataFrame:
+    """Per-doc shared-segment stats: how much of each document is made of
+    segments that also appear in OTHER documents (count distinct docs per
+    segment hash > 1). The corpus-wide part is two narrow shuffles on the
+    md5 key — segment document-frequency, then the per-doc rollup; both
+    partial-aggregate map-side.
+    """
+    seg = segment_hashes(df, id_col, text_col, seg_len)
+    dfreq = seg.groupBy("seg_hash").agg(
+        F.countDistinct(id_col).alias("_ndocs")
+    )
+    shared = F.sum(F.when(F.col("_ndocs") > 1, 1).otherwise(0))
+    return (
+        seg.join(dfreq, "seg_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            shared.cast("long").alias("n_shared_segments"),
+            F.round(shared / F.count("*"), 6).alias("shared_frac"),
+        )
+    )
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Train documents sharing >=1 word n-gram with any eval document.
+
+    The eval side is distinct n-grams of the benchmark set — small by
+    construction (benchmarks are thousands of rows, the corpus 10^12), so
+    it is broadcast: contamination is a map-side hash probe over the
+    train scan, no corpus shuffle at all. Output: contaminated train doc
+    ids with distinct hit-gram and eval-doc counts.
+    """
+    from .text import shingles  # distinct-set semantics is right here
+
+    tr = train.select(
+        id_col, F.explode(shingles(F.col(text_col), n)).alias("g")
+    )
+    ev = eval_df.select(
+        F.col(id_col).alias("_eval_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    ).dropDuplicates(["_eval_id", "g"])
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("g").cast("long").alias("n_hit_ngrams"),
+            F.countDistinct("_eval_id").cast("long").alias("n_eval_docs"),
+        )
+    )
+
+
+def _hex_threshold(frac: float) -> str:
+    """First-two-hex-digit threshold for an md5-prefix Bernoulli gate:
+    P(substr(md5,1,2) < format(k,'02x')) = k/256. Granularity 1/256 —
+    the standard trade for a split that any engine (and any future
+    re-implementation) reproduces from the hex string alone."""
+    k = max(0, min(256, int(frac * 256)))
+    return format(k, "02x")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_frac: float = 0.9,
+    val_frac: float = 0.05,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment from md5 of the id.
+
+    Never `rand()`: the assignment must be a pure function of the row id
+    so re-runs, re-partitions, and incremental appends keep every row in
+    its split (leakage-free by construction). Zero shuffle.
+    """
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    b = F.substring(key, 1, 2)
+    t_train = _hex_threshold(train_frac)
+    t_val = _hex_threshold(train_frac + val_frac)
+    return df.withColumn(
+        "split",
+        F.when(b < t_train, "train").when(b < t_val, "val").otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (e.g. language rebalancing):
+    keep a row iff md5(id|stratum) lands under the stratum's threshold.
+    Same zero-shuffle / re-run-stable rationale as hash_split; unlike
+    df.sampleBy, membership is independent of partitioning and rng."""
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit("|"), F.col(strata_col))
+    )
+    b = F.substring(key, 1, 2)
+    thr: Column = F.lit(_hex_threshold(default_frac))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(_hex_threshold(frac))
+        ).otherwise(thr)
+    return df.where(b < thr)

@@ -1,0 +1,179 @@
+"""Curation-signal operators (quality.py) + dedup clustering (graph.py).
+
+Properties over crafted micro-corpora with hand-computable answers, plus
+a pure-python union-find cross-check for connected components (the same
+independent-reference pattern as the recall tests).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gobulk_spark.operators.graph import connected_components, dedup_clusters
+from gobulk_spark.operators.quality import (
+    contamination_check,
+    hash_split,
+    repetition_stats,
+    segment_dedup_stats,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- quality
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "a b a b a": 2-grams = [a b, b a, a b, b a] -> top frac 2/4
+    # 3-grams = [a b a, b a b, a b a] -> dup frac (3-2)/3
+    df = _docs(spark, [(1, "a b a b a"), (2, "x y z w"), (3, "q")])
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(df, "doc_id", "text").collect()
+    }
+    assert out[1]["top_2gram_frac"] == 0.5
+    assert out[1]["dup_3gram_frac"] == round(1 / 3, 6)
+    assert out[2]["top_2gram_frac"] == round(1 / 3, 6)  # all distinct
+    assert out[2]["dup_3gram_frac"] == 0.0
+    # single-token doc: no n-grams at all -> defined as 0, not null/error
+    assert out[3]["top_2gram_frac"] == 0.0 and out[3]["dup_3gram_frac"] == 0.0
+
+
+def test_segment_dedup_planted_shared_segment(spark):
+    shared = " ".join(f"s{i}" for i in range(8))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(8))  # noqa: E731
+    df = _docs(
+        spark,
+        [
+            (1, shared + " " + uniq("a")),  # 2 segments, 1 shared
+            (2, shared + " " + uniq("b")),  # 2 segments, 1 shared
+            (3, uniq("c")),  # 1 segment, unshared
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup_stats(df, "doc_id", "text").collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[1]["n_shared_segments"] == 1
+    assert out[1]["shared_frac"] == 0.5
+    assert out[2]["n_shared_segments"] == 1
+    assert out[3]["n_segments"] == 1 and out[3]["n_shared_segments"] == 0
+
+
+def test_segment_boundaries_are_token_exact(spark):
+    # 9 tokens -> segments [t0..t7], [t8]; a doc equal to the FIRST
+    # segment must collide with it exactly (boundary off-by-one guard)
+    nine = " ".join(f"t{i}" for i in range(9))
+    first8 = " ".join(f"t{i}" for i in range(8))
+    df = _docs(spark, [(1, nine), (2, first8)])
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup_stats(df, "doc_id", "text").collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[1]["n_shared_segments"] == 1
+    assert out[2]["n_segments"] == 1 and out[2]["n_shared_segments"] == 1
+
+
+def test_contamination_finds_planted_overlap_and_broadcasts(spark):
+    ev = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    tr = _docs(
+        spark,
+        [
+            (1, "x alpha beta gamma delta epsilon zeta y"),  # two shared 5-grams
+            (2, "clean text with no overlap at all here"),
+        ],
+    )
+    out = contamination_check(tr, ev, "doc_id", "text", n=5).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 1
+    assert out[0]["n_hit_ngrams"] == 2 and out[0]["n_eval_docs"] == 1
+    plan = contamination_check(
+        tr, ev, "doc_id", "text", n=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # eval side must never shuffle train
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, "doc_id").groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.85 < counts["train"] / 2000 < 0.95
+    # same rows, different partitioning -> identical assignment per id
+    b = hash_split(df.repartition(17), "doc_id").select("doc_id", "split")
+    a2 = hash_split(df, "doc_id").select("doc_id", "split")
+    assert a2.exceptAll(b).isEmpty() and b.exceptAll(a2).isEmpty()
+    # salt changes the assignment (different experiment, different split)
+    c = hash_split(df, "doc_id", salt="v2").select("doc_id", "split")
+    assert not a2.exceptAll(c).isEmpty()
+
+
+def test_stratified_sample_rates_and_subset(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = stratified_sample(df, "doc_id", "lang", {"en": 0.5, "de": 0.1})
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert 0.4 < counts["en"] / 1500 < 0.6
+    assert 0.05 < counts["de"] / 1500 < 0.16
+    assert out.join(df, ["doc_id", "lang"], "left_anti").isEmpty()  # subset
+    # deterministic: a second evaluation is identical
+    out2 = stratified_sample(df, "doc_id", "lang", {"en": 0.5, "de": 0.1})
+    assert out.exceptAll(out2).isEmpty()
+
+
+# ------------------------------------------------------------------ graph
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (4, 5)],  # chain + pair
+        [(10, 11), (11, 12), (10, 12), (20, 21)],  # triangle + pair
+        [(i, i + 1) for i in range(1, 12)],  # long chain (diameter test)
+        [(5, 9), (9, 2), (7, 7)],  # self-loop + relabel to min
+    ],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    want = _uf_components(edges)
+    assert got == want
+
+
+def test_dedup_clusters_sizes_and_survivor(spark):
+    pairs = spark.createDataFrame(
+        [(3, 1), (1, 2), (9, 8)], "id_a long, id_b long"
+    )
+    rows = dedup_clusters(pairs).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert by_doc[1]["cluster_id"] == 1 and by_doc[3]["cluster_id"] == 1
+    assert by_doc[1]["cluster_size"] == 3
+    assert by_doc[8]["cluster_id"] == 8 and by_doc[8]["cluster_size"] == 2
+    # survivor rule: cluster_id is always the min doc_id of the cluster
+    for r in rows:
+        assert r["cluster_id"] <= r["doc_id"]
