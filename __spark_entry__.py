@@ -672,9 +672,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "dedup_clusters": q_dedup_clusters,
+        # oracle-checked since round 3: the md5-vote simhash is exactly
+        # reproducible in SQL, and multi-probe banding is recall-1.0 by
+        # pigeonhole (guard never trips on this corpus), so the banded
+        # result equals the exact all-pairs scan bit-for-bit
+        "simhash_near_dups": q_simhash_near_dups,
         # rows-only (vectorized Arrow UDF / seeded-RNG operators)
         "flagship_quality_filter": q_flagship_quality_filter,
-        "simhash_near_dups": q_simhash_near_dups,
         "embedding_lsh_ann": q_embedding_lsh_ann,
         "embedding_ivf_ann": q_embedding_ivf_ann,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -1078,6 +1082,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE substring(md5(CAST(doc_id AS VARCHAR) || '|' || lang), 1, 2) <
                   CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40' ELSE '19' END
+        """,
+        # exact semantics of the operator contract: 64-bit simhash =
+        # per-token md5 (first 8 bytes, big-endian) majority vote over
+        # token OCCURRENCES (ties -> 0), two's-complement packing with
+        # bit 0 as the sign bit; pairs = all-pairs hamming <= 16. The
+        # engine's multi-probe banding is recall-1.0 at the radius by
+        # generalized pigeonhole and its auto guard only drops buckets
+        # 8x above uniform (none on this corpus), so banded == exact.
+        "simhash_near_dups": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+                FROM documents
+            ),
+            th AS (SELECT doc_id, substring(md5(tok), 1, 16) AS h FROM toks),
+            bits AS (
+                SELECT doc_id, j.j,
+                       ((strpos('0123456789abcdef',
+                                substring(th.h, CAST(j.j // 4 AS INTEGER) + 1, 1)) - 1)
+                        >> CAST(3 - (j.j % 4) AS INTEGER)) & 1 AS bit
+                FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+            ),
+            votes AS (
+                SELECT doc_id, j, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+                FROM bits GROUP BY doc_id, j
+            ),
+            sig AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0 AND j > 0
+                                THEN (CAST(1 AS BIGINT) << CAST(63 - j AS INTEGER))
+                                ELSE 0 END) AS BIGINT)
+                       + CAST(sum(CASE WHEN v > 0 AND j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                         * (-9223372036854775807 - 1) AS simhash
+                FROM votes GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
         """,
         "dedup_clusters": """
             WITH RECURSIVE toks AS (

@@ -59,6 +59,13 @@ HEADLINE = (
     "tfidf_top_terms",
     "salted_join_revenue",
     "winnow_overlap_pairs",
+    # round-3 curation operators
+    "repetition_stats",
+    "segment_dedup",
+    "contamination_check",
+    "hash_split",
+    "stratified_sample",
+    "dedup_clusters",
 )
 
 # (master, taskset cpu list) — 2N CPUs per N-task leg, see module doc
