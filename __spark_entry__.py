@@ -431,8 +431,9 @@ def q_embedding_ivf_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) containment candidates over documents —
     rolling-hash fingerprints, local positions, so partial overlap is
-    detectable (rows-only: the winnowing selection is not expressible
-    in one SQL oracle; the operator is property-tested instead)."""
+    detectable. Oracle-checked: _winnow_oracle_sql reproduces the
+    Karp-Rabin/mix/window-select pipeline exactly in DuckDB (plus the
+    property tests that pin the winnowing guarantees)."""
     from gobulk_spark.operators.text import winnow_overlap_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -636,6 +637,70 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def _winnow_oracle_sql(
+    k: int = 16, window: int = 8, min_shared: int = 4, max_fp_df: int = 32
+) -> str:
+    """DuckDB reproduction of the exact winnowing semantics
+    (operators/text.winnow_fingerprints): Karp-Rabin k-gram hashes with
+    the uint64-wraparound modulus emulated via HUGEINT (% 2^64) — the
+    k-gram polynomial is a FLAT weighted sum with B^j mod 2^64
+    coefficients precomputed here (each term < 2^72, the sum < 2^76,
+    both inside HUGEINT; a Horner chain would need k CTE passes), the
+    murmur-style mixing multiply split into 32-bit halves (a full
+    64x64 product overflows signed INT128) — then rightmost-min
+    window selection via an exploded-offset equality join (a BETWEEN
+    range join is 3.5x slower in DuckDB), and the same distinct /
+    document-frequency-guard / min-shared pair semantics as the
+    operator."""
+    M = 1 << 64
+    mix_const = 0xFF51AFD7ED558CCD
+    bhi, blo = mix_const >> 32, mix_const & 0xFFFFFFFF
+    coef = [pow(1000003, k - 1 - i, M) for i in range(k)]
+    terms = " + ".join(
+        f"(ascii(substring(lo, p + {i}, 1))::HUGEINT * {c})"
+        for i, c in enumerate(coef)
+    )
+    mix = (
+        f"CAST((((acc2::HUGEINT * {blo}) % {M})"
+        f" + (((acc2::HUGEINT * {bhi}) % 4294967296) * 4294967296))"
+        f" % {M} AS UBIGINT)"
+    )
+    return f"""WITH kg1 AS (
+    SELECT doc_id, p, CAST(({terms}) % {M} AS UBIGINT) AS kr
+    FROM (SELECT doc_id, lower(text) AS lo,
+                 unnest(range(1, greatest(length(text) - {k - 1}, 0) + 1)) AS p
+          FROM documents)),
+kg2 AS (SELECT doc_id, p, xor(kr, kr >> 33) AS acc2 FROM kg1),
+kg3 AS (SELECT doc_id, p, {mix} AS h2 FROM kg2),
+kg AS (SELECT doc_id, p, xor(h2, h2 >> 33) AS h FROM kg3),
+ng AS (SELECT doc_id, max(p) AS n FROM kg GROUP BY doc_id),
+starts AS (SELECT doc_id, unnest(range(1, greatest(n - {window - 1}, 1) + 1)) AS i
+           FROM ng),
+offs AS (SELECT unnest(range(0, {window})) AS o),
+winmem AS (
+    SELECT s.doc_id, s.i, b.p, b.h
+    FROM starts s CROSS JOIN offs
+    JOIN kg b ON b.doc_id = s.doc_id AND b.p = s.i + offs.o),
+winmin AS (SELECT doc_id, i, min(h) AS mh FROM winmem GROUP BY doc_id, i),
+picked AS (
+    SELECT w.doc_id, max(m.p) AS pos
+    FROM winmin w JOIN winmem m
+      ON m.doc_id = w.doc_id AND m.i = w.i AND m.h = w.mh
+    GROUP BY w.doc_id, w.i),
+fps AS (
+    SELECT DISTINCT k.doc_id, CAST(k.h >> 1 AS BIGINT) AS fingerprint
+    FROM picked p JOIN kg k ON k.doc_id = p.doc_id AND k.p = p.pos),
+kept AS (
+    SELECT f.* FROM fps f
+    JOIN (SELECT fingerprint, count(*) AS df FROM fps GROUP BY fingerprint) d
+      ON d.fingerprint = f.fingerprint
+    WHERE d.df <= {max_fp_df})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fingerprints
+FROM kept a JOIN kept b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {min_shared}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "quality_rule_filter": q_quality_rule_filter,
@@ -677,13 +742,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pigeonhole (guard never trips on this corpus), so the banded
         # result equals the exact all-pairs scan bit-for-bit
         "simhash_near_dups": q_simhash_near_dups,
+        # oracle-checked since round 3: Karp-Rabin mod-2^64 emulated in
+        # DuckDB via HUGEINT — see _winnow_oracle_sql
+        "winnow_overlap_pairs": q_winnow_overlap_pairs,
         # rows-only (vectorized Arrow UDF / seeded-RNG operators)
         "flagship_quality_filter": q_flagship_quality_filter,
         "embedding_lsh_ann": q_embedding_lsh_ann,
         "embedding_ivf_ann": q_embedding_ivf_ann,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "embedding_ivf_near_dups": q_embedding_ivf_near_dups,
-        "winnow_overlap_pairs": q_winnow_overlap_pairs,
     }
 
 
@@ -1170,4 +1237,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sz.cluster_size AS BIGINT) AS cluster_size
             FROM cc JOIN sz USING (cluster_id)
         """,
+        "winnow_overlap_pairs": _winnow_oracle_sql(
+            k=16, window=8, min_shared=4, max_fp_df=32
+        ),
     }

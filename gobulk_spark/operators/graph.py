@@ -7,15 +7,16 @@ Pairs → clusters is connected components, the one genuinely iterative
 algorithm in the dedup family (gobulk has no analogue; its dedup is the
 exact content-hash tier, tracker/gorm.go:441-449).
 
-Implementation: distributed min-label propagation. Each round every node
-adopts the smallest label among itself and its neighbours; rounds repeat
-until a fixpoint. Cost per round is one shuffle of the edge list; the
-number of rounds is the graph diameter. Near-dup graphs are dense
-clusters with tiny diameters (near-cliques: if a~b and b~c, a~c almost
-always), so 2-4 rounds close real corpora — the O(log n) large-star /
-small-star variant (Kiveris et al., "Connected Components in MapReduce")
-is the documented upgrade path if an adversarial long-chain graph ever
-shows up; same seam, same contract.
+Implementation: distributed min-label propagation WITH pointer jumping.
+Each round every node adopts the smallest label among itself and its
+neighbours (one edge-list shuffle), then shortcuts through its current
+label's label (one label-list self-join — "pointer doubling"). Plain
+propagation needs diameter rounds; the jump halves the remaining label-
+tree depth each round, so convergence is O(log diameter) — the same
+bound as large-star/small-star (Kiveris et al., "Connected Components
+in MapReduce and Beyond") with simpler per-round dataflow. Near-dup
+graphs are near-cliques (2-3 rounds anyway); the jump is what makes an
+adversarial long-chain graph safe at scale.
 
 Scale notes: labels and edges are (long, long) pairs — narrow shuffles
 regardless of document size; `localCheckpoint` truncates the iterative
@@ -56,12 +57,26 @@ def connected_components(
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        merged = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        # pointer jump: adopt the label OF my label. Labels are always
+        # node ids (they originate as ids and only min-merge), so the
+        # lookup self-join always hits; lbl(parent) <= parent makes
+        # least() monotone. This is what turns a diameter-length chain
+        # into O(log d) rounds.
+        parent = merged.select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("parent_lbl")
+        )
         new_labels = (
-            labels.join(nbr_min, "node", "left")
+            merged.join(parent, "lbl", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                    F.col("lbl"), F.coalesce(F.col("parent_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
             .localCheckpoint(eager=True)
@@ -78,8 +93,8 @@ def connected_components(
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
-            "graph diameter exceeds the near-dup assumption; use the "
-            "large-star/small-star variant"
+            "with pointer jumping this needs diameter > 2^max_iter, which "
+            "indicates a degenerate input (or raise max_iter)"
         )
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 

@@ -126,6 +126,25 @@ def test_stratified_sample_rates_and_subset(spark):
     assert out.exceptAll(out2).isEmpty()
 
 
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_per_doc_signals_are_zero_shuffle_and_jvm_only(spark):
+    """The scale contract of the per-document operators: pure narrow
+    projections — no exchange of any kind, no Python eval nodes."""
+    df = _docs(spark, [(1, "a b c d e f g h i j")])
+    for out in (
+        repetition_stats(df, "doc_id", "text"),
+        hash_split(df, "doc_id"),
+        stratified_sample(df, "doc_id", "text", {"x": 0.5}),
+    ):
+        plan = _plan(out)
+        assert "Exchange" not in plan, plan
+        for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py_node not in plan, plan
+
+
 # ------------------------------------------------------------------ graph
 
 
@@ -163,6 +182,16 @@ def test_connected_components_matches_union_find(spark, edges):
     }
     want = _uf_components(edges)
     assert got == want
+
+
+def test_cc_pointer_jumping_beats_diameter(spark):
+    # a 64-node chain has diameter 63; plain min-label propagation needs
+    # ~63 rounds, pointer jumping O(log d). max_iter=10 only passes if
+    # the jump is actually shortening the label tree.
+    edges = [(i, i + 1) for i in range(1, 64)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = connected_components(df, max_iter=10).collect()
+    assert all(r["cluster_id"] == 1 for r in got) and len(got) == 64
 
 
 def test_dedup_clusters_sizes_and_survivor(spark):
