@@ -428,6 +428,19 @@ def q_embedding_ivf_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN: 8-byte codes (32x compression of float32
+    dim-64), asymmetric-distance top-k via a driver-built lookup table
+    (rows-only: the trained codebook is seeded numpy k-means; recall vs
+    brute force is pinned in tests)."""
+    from gobulk_spark.operators.similarity import pq_ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    query = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    dim = len(query)
+    return pq_ann(e.where(F.col("vec_id") != 0), list(query), dim, k=10)
+
+
 def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) containment candidates over documents —
     rolling-hash fingerprints, local positions, so partial overlap is
@@ -751,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_ann": q_embedding_ivf_ann,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "embedding_ivf_near_dups": q_embedding_ivf_near_dups,
+        "embedding_pq_ann": q_embedding_pq_ann,
     }
 
 
