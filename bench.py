@@ -66,6 +66,7 @@ HEADLINE = (
     "hash_split",
     "stratified_sample",
     "dedup_clusters",
+    "embedding_pq_ann",
 )
 
 # (master, taskset cpu list) — 2N CPUs per N-task leg, see module doc
