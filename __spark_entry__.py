@@ -441,6 +441,23 @@ def q_embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann(e.where(F.col("vec_id") != 0), list(query), dim, k=10)
 
 
+def q_embedding_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (the FAISS IVFx,PQy shape): probed cells
+    bound WHICH rows are scanned, 8-byte PQ codes bound WHAT is read
+    per row, exact re-rank touches only the shortlist (rows-only:
+    seeded k-means codebooks; probe-all==plain-PQ invariance and
+    matches-exact-IVF-on-same-probes pinned in tests)."""
+    from gobulk_spark.operators.similarity import ivfpq_ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    query = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    dim = len(query)
+    return ivfpq_ann(
+        e.where(F.col("vec_id") != 0), list(query), dim, k=10,
+        n_cells=16, n_probe=4,
+    )
+
+
 def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) containment candidates over documents —
     rolling-hash fingerprints, local positions, so partial overlap is
@@ -765,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "embedding_ivf_near_dups": q_embedding_ivf_near_dups,
         "embedding_pq_ann": q_embedding_pq_ann,
+        "embedding_ivfpq_ann": q_embedding_ivfpq_ann,
     }
 
 

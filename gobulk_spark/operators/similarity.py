@@ -718,3 +718,52 @@ def pq_ann(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def ivfpq_ann(
+    emb: DataFrame,
+    query: list[float],
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 256,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+    codebook: np.ndarray | None = None,
+    rerank_factor: int = 10,
+) -> DataFrame:
+    """IVF-PQ: the canonical trillion-scale ANN composition (FAISS's
+    IVFx,PQy index re-expressed as a DataFrame plan). IVF cells bound
+    WHICH rows are scanned (n_probe/n_cells of the corpus; partition
+    pruning when the table is written partitioned by cell), PQ codes
+    bound WHAT the scan reads per row (8 bytes, not 256), and the
+    exact re-rank touches only k x rerank_factor float vectors.
+
+    Both codebooks come from the same bounded deterministic sample
+    discipline, so index build cost is constant w.r.t. table size.
+    """
+    if centroids is None:
+        centroids = fit_ivf_centroids(emb, dim, n_cells, seed, id_col=id_col)
+    if codebook is None:
+        codebook = fit_pq_codebook(
+            emb, dim, n_sub, n_codes, seed=seed, id_col=id_col
+        )
+    scores = centroids @ np.asarray(query, dtype=np.float64)
+    probes = [int(i) for i in np.argsort(-scores)[:n_probe]]
+    celled = with_ivf_cell(emb, dim, n_cells, seed, id_col, centroids=centroids)
+    probed = celled.where(F.col("ivf_cell").isin(probes)).drop("ivf_cell")
+    return pq_ann(
+        probed,
+        query,
+        dim,
+        k=k,
+        n_sub=n_sub,
+        n_codes=n_codes,
+        seed=seed,
+        id_col=id_col,
+        codebook=codebook,
+        rerank_factor=rerank_factor,
+    )

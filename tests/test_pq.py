@@ -89,3 +89,47 @@ def test_pq_over_empty_table_returns_empty(spark):
     )
     out = pq_ann(emb, [1.0] * 64, 64, k=5)
     assert out.count() == 0
+
+
+def test_ivfpq_probe_all_equals_plain_pq(spark):
+    """n_probe == n_cells scans everything — IVF-PQ must then return
+    exactly the plain PQ result (the composition adds pruning, never
+    different scoring)."""
+    from gobulk_spark.operators.similarity import ivfpq_ann
+
+    emb = spark.read.parquet(SF)
+    query = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    dim = len(query)
+    base = emb.where(F.col("vec_id") != 0)
+    full = ivfpq_ann(base, list(query), dim, k=10, n_cells=8, n_probe=8)
+    plain = pq_ann(base, list(query), dim, k=10)
+    assert [tuple(r) for r in full.collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
+
+
+def test_ivfpq_matches_exact_ivf_on_same_probes(spark):
+    """The PQ stage of the composition must lose (almost) nothing
+    relative to EXACT scoring over the same probed cells — probe loss
+    itself is IVF's documented property (on these largely-isotropic
+    driver embeddings, absolute recall ~= the probe fraction for ANY
+    cell scheme; the noise-floor boundary in BASELINE.md)."""
+    from gobulk_spark.operators.similarity import ivf_ann, ivfpq_ann
+
+    emb = spark.read.parquet(SF)
+    query = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    dim = len(query)
+    base = emb.where(F.col("vec_id") != 0)
+    exact_ivf = {
+        r["vec_id"]
+        for r in ivf_ann(
+            base, list(query), dim, k=10, n_cells=16, n_probe=4
+        ).collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in ivfpq_ann(
+            base, list(query), dim, k=10, n_cells=16, n_probe=4
+        ).collect()
+    }
+    assert len(exact_ivf & got) / 10 >= 0.9, (exact_ivf, got)
