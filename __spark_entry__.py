@@ -681,7 +681,15 @@ def _winnow_oracle_sql(
     window selection via an exploded-offset equality join (a BETWEEN
     range join is 3.5x slower in DuckDB), and the same distinct /
     document-frequency-guard / min-shared pair semantics as the
-    operator."""
+    operator.
+
+    ASCII contract (the module-wide oracle portability rule): the
+    operator hashes UTF-8 BYTES (numpy uint8) while this SQL hashes
+    code points via ascii() — identical only for ASCII text, which the
+    driver corpus is (verified at all three scale factors). A non-ASCII
+    char would shift every subsequent k-gram on the operator side only;
+    if the corpus ever grows non-ASCII text this oracle must switch to
+    byte extraction (DuckDB encode()/blob indexing) first."""
     M = 1 << 64
     mix_const = 0xFF51AFD7ED558CCD
     bhi, blo = mix_const >> 32, mix_const & 0xFFFFFFFF

@@ -67,8 +67,13 @@ def connected_components(
         # node ids (they originate as ids and only min-merge), so the
         # lookup self-join always hits; lbl(parent) <= parent makes
         # least() monotone. This is what turns a diameter-length chain
-        # into O(log d) rounds.
-        parent = merged.select(
+        # into O(log d) rounds. The parent table is the PREVIOUS
+        # generation (`labels`, already checkpointed), not `merged`:
+        # joining merged to itself would evaluate the un-pinned
+        # edge-join/aggregate subtree twice per round — the exact
+        # re-trigger cost dedup.pin exists to prevent — and synchronous
+        # pointer doubling reads the prior generation anyway.
+        parent = labels.select(
             F.col("node").alias("lbl"), F.col("lbl").alias("parent_lbl")
         )
         new_labels = (

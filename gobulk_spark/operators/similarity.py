@@ -110,6 +110,25 @@ def lsh_bucket_ann(
     )
 
 
+def _bounded_sample_matrix(
+    emb: DataFrame, id_col: str, sample_size: int
+) -> np.ndarray | None:
+    """The shared fit-sample discipline: top-``sample_size`` rows by
+    xxhash64(id) — a deterministic uniform draw Spark executes as
+    per-partition top-k + driver merge (TakeOrderedAndProject), no full
+    sort, no count, bounded driver memory regardless of table size.
+    Returns a raw float64 matrix, or None for an empty table."""
+    rows = (
+        emb.select(F.col("embedding"), F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        return None
+    return np.stack([r[0] for r in rows]).astype(np.float64)
+
+
 def _ivf_centroids(dim: int, n_cells: int, seed: int) -> np.ndarray:
     """Training-free fallback quantizer: unit-norm random centroids.
 
@@ -129,6 +148,7 @@ def fit_ivf_centroids(
     sample_size: int = 8192,
     n_iter: int = 12,
     id_col: str = "vec_id",
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Spherical k-means codebook from a seeded sample (the training
     pass gobulk-era IVF needs for non-degenerate cell occupancy).
@@ -140,27 +160,35 @@ def fit_ivf_centroids(
     regardless of table size — at 10^12 rows the fit cost is constant;
     only the assignment UDF scales. Assignment is argmax dot with unit
     centroids = cosine k-means; empty cells are reseeded from the
-    worst-served point so all n_cells stay live."""
-    rows = (
-        emb.select(F.col("embedding"), F.xxhash64(F.col(id_col)).alias("_h"))
-        .orderBy("_h")
-        .limit(sample_size)
-        .collect()
+    worst-served point so all n_cells stay live.
+
+    ``sample``: a pre-collected raw matrix from _bounded_sample_matrix
+    — lets ivfpq_ann fit IVF and PQ codebooks from ONE table pass."""
+    m = (
+        sample
+        if sample is not None
+        else _bounded_sample_matrix(emb, id_col, sample_size)
     )
-    if not rows:  # empty table: no data to fit — random codebook keeps
+    if m is None:  # empty table: no data to fit — random codebook keeps
         return _ivf_centroids(dim, n_cells, seed)  # ann-over-empty total
     rng = np.random.default_rng(seed)
-    m = np.stack([r[0] for r in rows]).astype(np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     m = m / np.maximum(norms, 1e-12)
     cents = m[rng.choice(len(m), n_cells, replace=len(m) < n_cells)].copy()
     for _ in range(n_iter):
         sims = m @ cents.T
         assign = np.argmax(sims, axis=1)
+        # worst-served points in order — each dead cell reseeds from a
+        # DISTINCT one (a single shared argmin would make two cells
+        # dying in the same iteration identical forever: they then tie
+        # on argmax, the lower index wins, and the other stays dead)
+        worst = np.argsort(np.max(sims, axis=1))
+        dead = 0
         for c in range(n_cells):
             members = m[assign == c]
-            if len(members) == 0:  # dead cell: reseed from worst-served point
-                cents[c] = m[np.argmin(np.max(sims, axis=1))]
+            if len(members) == 0:
+                cents[c] = m[worst[dead % len(m)]]
+                dead += 1
             else:
                 mean = members.mean(axis=0)
                 cents[c] = mean / max(np.linalg.norm(mean), 1e-12)
@@ -574,6 +602,7 @@ def fit_pq_codebook(
     sample_size: int = 8192,
     n_iter: int = 12,
     id_col: str = "vec_id",
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantizer codebooks (Jegou et al., "Product Quantization
     for Nearest Neighbor Search", TPAMI'11): the UNIT-NORMALIZED vector
@@ -593,21 +622,21 @@ def fit_pq_codebook(
     w.r.t. table size. Normalizing before quantization makes L2 code
     distance a cosine surrogate: cos = 1 - ||a-b||^2 / 2 on unit
     vectors, so ADC can rank by (approximate) cosine directly.
+    ``sample``: a pre-collected raw matrix from _bounded_sample_matrix
+    — lets ivfpq_ann fit IVF and PQ codebooks from ONE table pass.
     """
-    rows = (
-        emb.select(F.col("embedding"), F.xxhash64(F.col(id_col)).alias("_h"))
-        .orderBy("_h")
-        .limit(sample_size)
-        .collect()
+    m = (
+        sample
+        if sample is not None
+        else _bounded_sample_matrix(emb, id_col, sample_size)
     )
     rng = np.random.default_rng(seed)
     sub_dim = dim // n_sub
     assert n_sub * sub_dim == dim, "dim must divide evenly into n_sub"
-    if not rows:  # empty table: seeded random unit codebook (ann-over-
+    if m is None:  # empty table: seeded random unit codebook (ann-over-
         cb = rng.standard_normal((n_sub, n_codes, sub_dim))  # empty total)
         return cb / np.maximum(np.linalg.norm(cb, axis=2, keepdims=True), 1e-12)
-    m = np.stack([r[0] for r in rows]).astype(np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     cb = np.empty((n_sub, n_codes, sub_dim))
     for s in range(n_sub):
         x = m[:, s * sub_dim : (s + 1) * sub_dim]
@@ -616,10 +645,17 @@ def fit_pq_codebook(
             # ||x-c||^2 = ||x||^2 - 2xc + ||c||^2; x-term constant per row
             d2 = -2.0 * (x @ cents.T) + (cents * cents).sum(axis=1)
             assign = np.argmin(d2, axis=1)
+            # distinct worst-served reseeds (see fit_ivf_centroids):
+            # with 256 codes over a bounded sample, SIMULTANEOUS dead
+            # codes are likely, and a shared reseed point would leave
+            # all but one of them permanently dead duplicates
+            worst = np.argsort(-np.min(d2, axis=1))
+            dead = 0
             for c in range(n_codes):
                 members = x[assign == c]
-                if len(members) == 0:  # dead code: reseed from the point
-                    cents[c] = x[np.argmax(np.min(d2, axis=1))]  # worst-served
+                if len(members) == 0:
+                    cents[c] = x[worst[dead % len(x)]]
+                    dead += 1
                 else:
                     cents[c] = members.mean(axis=0)
         cb[s] = cents
@@ -745,12 +781,19 @@ def ivfpq_ann(
     Both codebooks come from the same bounded deterministic sample
     discipline, so index build cost is constant w.r.t. table size.
     """
-    if centroids is None:
-        centroids = fit_ivf_centroids(emb, dim, n_cells, seed, id_col=id_col)
-    if codebook is None:
-        codebook = fit_pq_codebook(
-            emb, dim, n_sub, n_codes, seed=seed, id_col=id_col
-        )
+    if centroids is None or codebook is None:
+        # ONE bounded sample pass feeds both fitters — two independent
+        # TakeOrdered collections would scan the table twice to fetch
+        # the identical deterministic rows
+        sample = _bounded_sample_matrix(emb, id_col, 8192)
+        if centroids is None:
+            centroids = fit_ivf_centroids(
+                emb, dim, n_cells, seed, id_col=id_col, sample=sample
+            )
+        if codebook is None:
+            codebook = fit_pq_codebook(
+                emb, dim, n_sub, n_codes, seed=seed, id_col=id_col, sample=sample
+            )
     scores = centroids @ np.asarray(query, dtype=np.float64)
     probes = [int(i) for i in np.argsort(-scores)[:n_probe]]
     celled = with_ivf_cell(emb, dim, n_cells, seed, id_col, centroids=centroids)

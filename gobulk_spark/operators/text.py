@@ -126,11 +126,13 @@ def ngram_array(text: Column, n: int) -> Column:
             F.slice(toks, k + 1, F.size(toks)),
             lambda a, b: F.concat_ws(" ", a, b),
         )
+    empty = F.array().cast("array<string>")
     if n == 1:
-        return toks
+        # same totality as n >= 2: NULL text -> empty array, never NULL
+        return F.coalesce(toks, empty)
     return F.when(
         F.size(toks) >= n, F.slice(g, 1, F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(empty)
 
 
 def shingles(text: Column, n: int) -> Column:
@@ -293,7 +295,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
         import numpy as np
 
-        tok_lists = texts.fillna("").str.split()
+        # ' +' over space-trimmed text, NOT str.split(): this is the
+        # exact tokenization of text.tokens()/the SQL oracles (empty
+        # text -> [''] , tabs stay inside tokens), so the simhash
+        # oracle's banded==exact claim holds on EVERY input, not just
+        # corpora with no degenerate whitespace
+        tok_lists = texts.fillna("").str.strip(" ").str.split(r" +", regex=True)
         counts = tok_lists.str.len().to_numpy(dtype=np.int64)
         flat = [t for row in tok_lists for t in row]
         out = np.zeros(len(texts), dtype=np.int64)

@@ -206,3 +206,26 @@ def test_dedup_clusters_sizes_and_survivor(spark):
     # survivor rule: cluster_id is always the min doc_id of the cluster
     for r in rows:
         assert r["cluster_id"] <= r["doc_id"]
+
+
+def test_simhash_degenerate_whitespace_matches_oracle_tokenization(spark):
+    """The simhash UDF tokenizes with ' +' over space-trimmed text — the
+    exact semantics of text.tokens() and the SQL oracle. Empty text is
+    the [''] token (signature = md5('')'s top 8 bytes, since a single
+    token's bits win every vote); tabs stay inside tokens."""
+    import hashlib
+
+    from gobulk_spark.operators.text import simhash
+
+    df = _docs(spark, [(1, ""), (2, "  a   b  "), (3, "a b"), (4, "a\tb")])
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+    # a single token's bits win every vote, so the signature IS its
+    # md5 hash — in the UDF's byte-permuted layout (numpy view(uint8)
+    # is little-endian): benign because hamming, the only consumer, is
+    # permutation-invariant, which is why the SQL oracle (big-endian
+    # signatures) still matches the pair output bit-for-bit
+    h_empty = int.from_bytes(hashlib.md5(b"").digest()[:8], "little")
+    expect_empty = h_empty - (1 << 64) if h_empty >= 1 << 63 else h_empty
+    assert sigs[1] == expect_empty
+    assert sigs[2] == sigs[3]  # leading/trailing/multi-space invariance
+    assert sigs[4] != sigs[3]  # tab is NOT a separator (token 'a\tb')
