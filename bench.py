@@ -135,8 +135,8 @@ def run_incremental_leg(master: str) -> dict:
     from gobulk_spark.pipeline import run_pipeline
     from gobulk_spark.session import get_spark
 
-    src = ensure_sharded_corpus()
-    # reset shard 0 in case a prior bench mutated it
+    # reset shards in case a prior bench mutated one (a build BEFORE
+    # the rmtree would be thrown away — pure wasted setup I/O)
     shutil.rmtree(SHARDED_DIR, ignore_errors=True)
     src = ensure_sharded_corpus()
     out_dir = "/tmp/gobulk_bench_out/incremental"

@@ -348,6 +348,10 @@ def decode_adpcm(blob: bytes) -> tuple[int, np.ndarray]:
     if blob[:4] != b"ADP1" or len(blob) < 15:
         raise ValueError("not an ADP1 payload")
     _, rate, n, pred, idx = struct.unpack("<4sIIhB", blob[:15])
+    if idx > 88:  # step-table index is 0..88; an out-of-range header
+        # byte must be a ValueError (routed to an issue row), never an
+        # IndexError that kills the whole Arrow task
+        raise ValueError(f"corrupt ADP1 header: step index {idx} > 88")
     packed = np.frombuffer(blob[15:], dtype=np.uint8)
     if len(packed) * 2 < n:
         raise ValueError("truncated ADP1 payload")
@@ -498,6 +502,12 @@ def sample_video_frames(pdf: pd.DataFrame, every_ms: int = 1000) -> pd.DataFrame
                 interval, n = struct.unpack("<II", blob[4:12])
                 if n > len(blob):  # cheap sanity bound before the index
                     raise ValueError("frame count exceeds payload size")
+                if n == 0:
+                    # a legal-but-empty clip must still be accounted
+                    # for (every clip yields >= 1 output row — the
+                    # audio-batch policy); silently emitting nothing
+                    # would be indistinguishable from missing input
+                    raise ValueError("MV01 clip has zero frames")
                 lengths = struct.unpack(f"<{n}I", blob[12 : 12 + 4 * n])
                 offsets = np.concatenate([[0], np.cumsum(lengths)]) + 12 + 4 * n
                 if offsets[-1] > len(blob):

@@ -58,12 +58,19 @@ def kept_dir(out_dir: str) -> str:
 
 
 def read_kept(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    """All kept rows across runs (run/lang recovered as partition cols)."""
+    """All kept rows across runs (run/lang recovered as partition cols).
+
+    `run` is cast back to string: partitionColumnTypeInference types a
+    purely-numeric run id (run_id='20240816') as int/date, which would
+    break every string comparison downstream (existing_ids' run
+    exclusion, delete-leaf selection) and make the sink's schema
+    validation reject a store the engine itself wrote."""
     fs = Fs(spark, out_dir)
     path = kept_dir(out_dir)
     if not any(e.startswith("run=") for e in fs.listdir(path)):
         return None
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    return df.withColumn("run", F.col("run").cast("string"))
 
 
 def stage_dir(out_dir: str, run_id: str, name: str) -> str:
@@ -127,7 +134,10 @@ def read_audit(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = audit_dir(out_dir)
     if not any(e.startswith("wphase=") for e in fs.listdir(path)):
         return None
-    return spark.read.parquet(path)  # wphase=/run= dirs discovered as partitions
+    # wphase=/run= dirs discovered as partitions; run cast to string
+    # for the same type-inference reason as read_kept
+    df = spark.read.parquet(path)
+    return df.withColumn("run", F.col("run").cast("string"))
 
 
 def audit_columns(

@@ -18,18 +18,20 @@ bit-for-bit: h_i(s) = md5(i || '|' || s), minimized as hex strings
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint, shingles
 
-#: every frame pin() persisted and nobody released yet. Weak refs: a
-#: frame the caller dropped can be GC'd (py4j unpersists on finalize);
-#: the registry only has to cover frames still alive.
-_PINNED: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
+#: every frame pin() persisted and nobody released yet. STRONG refs,
+#: deliberately: pin() is called on function-local frames that go out
+#: of scope before the caller's action runs, and Spark's CacheManager
+#: holds the cached plan regardless of Python object lifetime (nothing
+#: unpersists on GC) — a WeakSet here would be empty by the time
+#: release_pins() runs and the disk-spilled blocks would leak for the
+#: application's lifetime.
+_PINNED: list[DataFrame] = []
 
 
 def pin(df: DataFrame) -> DataFrame:
@@ -47,19 +49,18 @@ def pin(df: DataFrame) -> DataFrame:
     store disk, so call release_pins() after each query's terminal
     action (bench.py does)."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PINNED.add(df)
+    _PINNED.append(df)
     return df
 
 
 def release_pins() -> int:
-    """Unpersist every still-alive pinned frame; returns how many.
+    """Unpersist every pinned frame; returns how many.
 
     Safe mid-plan: unpersist is lazy-consistent (a later action simply
     recomputes), so callers run it after the consuming action."""
     n = 0
-    for df in list(_PINNED):
-        df.unpersist()
-        _PINNED.discard(df)
+    while _PINNED:
+        _PINNED.pop().unpersist()
         n += 1
     return n
 

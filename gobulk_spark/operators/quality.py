@@ -172,8 +172,15 @@ def _hex_threshold(frac: float) -> str:
     """First-two-hex-digit threshold for an md5-prefix Bernoulli gate:
     P(substr(md5,1,2) < format(k,'02x')) = k/256. Granularity 1/256 —
     the standard trade for a split that any engine (and any future
-    re-implementation) reproduces from the hex string alone."""
+    re-implementation) reproduces from the hex string alone.
+
+    frac >= 1 must NOT format 256 as '100': lexicographically '100' <
+    'f3' (string compare, not numeric), which would INVERT a keep-all
+    gate into keep-~6%. 'g0' is 2 chars and above every hex prefix —
+    a true keep-everything threshold."""
     k = max(0, min(256, int(frac * 256)))
+    if k >= 256:
+        return "g0"
     return format(k, "02x")
 
 

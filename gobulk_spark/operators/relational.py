@@ -39,11 +39,17 @@ def salted_join(
     # the identity `salted == plain` holds only when unmatched RIGHT
     # rows never surface: the right side is replicated once per salt, so
     # right/full-outer would emit n_salts null-extended duplicates per
-    # unmatched right key
-    if how not in ("inner", "left", "left_semi", "left_anti"):
+    # unmatched right key. Normalize Spark's join-type aliases
+    # (leftouter/left_outer/semi/leftsemi/... are all accepted by
+    # DataFrame.join) and reject by the UNSAFE set, not a spelling
+    # whitelist
+    norm = how.lower().replace("_", "")
+    unsafe = ("right", "rightouter", "full", "fullouter", "outer", "cross")
+    if norm in unsafe:
         raise ValueError(
-            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
-            "right/full joins would duplicate unmatched right keys per salt"
+            f"salted_join does not support how={how!r}: the right side is "
+            "replicated once per salt, so right/full joins would emit "
+            "n_salts null-extended duplicates per unmatched right key"
         )
     salt_src = F.xxhash64(*(left.columns if salt_by is None else [salt_by]))
     l = left.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)).cast("int"))

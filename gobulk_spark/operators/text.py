@@ -422,6 +422,8 @@ def simhash_probe_radius(max_hamming: int, n_rows: int) -> int:
 
 
 def _segment(col: Column, offset: int, width: int) -> Column:
+    if width >= 64:  # whole-signature band: (1<<64)-1 overflows LongType
+        return col  # (an explicit probe_radius >= max_hamming gives b=1)
     return F.shiftrightunsigned(col, offset).bitwiseAND(F.lit((1 << width) - 1))
 
 
@@ -501,6 +503,17 @@ def simhash_near_dups(
         # per-width mask arrays (at most two distinct widths), selected
         # by a when-chain — all JVM literals, the banding stays codegen
         widths = sorted({w for _, w in plan})
+        total_masks = sum(_n_probe_masks(w, probe_radius) for w in widths)
+        if total_masks > 100_000:
+            # an explicit oversized probe_radius (e.g. >= max_hamming,
+            # collapsing to one 64-bit band) would enumerate C(w, <=t)
+            # literals on the driver and explode probe-row volume; the
+            # auto path (simhash_probe_radius) never gets here
+            raise ValueError(
+                f"probe_radius={probe_radius} needs {total_masks} probe "
+                f"masks over widths {widths}; lower it (cost model in "
+                "simhash_probe_radius) or let it default"
+            )
         mask_arr = {
             w: F.array(*[F.lit(m) for m in _probe_masks(w, probe_radius)])
             for w in widths

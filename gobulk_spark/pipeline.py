@@ -155,13 +155,20 @@ def run_pipeline(
         obs = Observation(f"scan-{rid}")
         dups_audit = dups_audit.observe(obs, F.count(F.lit(1)).alias("n_dups"))
         lineage.write_audit(dups_audit, out, "scan", rid)
+        scan_stats = dict(scan_set["stats"])
+        if not cfg.incremental:
+            # a full run reads EVERY file regardless of the manifest
+            # diff — reporting the changed subset here would fabricate
+            # the very prune-economics evidence the bench cites
+            scan_stats["source_files_scanned"] = scan_stats["source_files_total"]
+            scan_stats["source_bytes_scanned"] = scan_stats["source_bytes_total"]
         ck = lineage.commit_phase(
             out,
             rid,
             "scan",
             n_dups=obs.get["n_dups"],
             wall_s=time.time() - t0,
-            **scan_set["stats"],
+            **scan_stats,
         )
     summary["phases"]["scan"] = ck
     n_dups = ck["n_dups"]
@@ -369,14 +376,24 @@ def run_pipeline(
             from .fsutil import Fs
 
             Fs(spark, out).delete(lineage.stage_dir(out, rid, "decided"))
+        # `kept` must count rows that LANDED: the observation runs over
+        # decided actions before sink failures are known, and a failed
+        # row was audited as an issue and withheld from the marker —
+        # reporting it inside kept would make the manifest disagree
+        # with the store (failures are create/update rows by
+        # construction: only kept_rows() reach sink.write)
+        n_failed = len(write_failures)
         ck = lineage.commit_phase(
             out,
             rid,
             "store",
             rows_in=stats["rows_in"],
-            kept=stats["kept"],
-            dropped=stats["dropped"],
-            issues=stats["issues"],
+            # sum() observations are None on a zero-row write (an
+            # unchanged-source incremental run) — treat as 0
+            kept=(stats["kept"] or 0) - n_failed,
+            dropped=stats["dropped"] or 0,
+            issues=(stats["issues"] or 0) + n_failed,
+            sink_failed=n_failed,
             subops=subops,
             wall_s=time.time() - t0,
         )
