@@ -30,11 +30,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 65536,
 ) -> DataFrame:
     """(node, cluster_id) for every node in `edges`; cluster_id is the
     smallest node id in the component (deterministic canonical label).
@@ -42,12 +60,31 @@ def connected_components(
     Only nodes that appear in at least one edge are returned — isolated
     documents are their own cluster by definition and joining them in is
     the caller's (cheap, optional) left join.
+
+    Size-aware execution: near-dup edge lists are usually TINY relative
+    to the corpus (pairs above a high threshold), and the distributed
+    loop costs ~3 jobs per round in scheduling alone — a 47-node graph
+    pays seconds of latency to label what a driver union-find does in
+    microseconds. Edge lists at or under ``driver_threshold`` rows are
+    collected (bounded: 16 bytes/edge -> 1 MiB at the default) and
+    solved exactly on the driver; larger graphs run the distributed
+    pointer-jumping propagation. Both paths produce the identical
+    min-label output (cross-checked in tests); pass 0 to force the
+    distributed path.
     """
     ed2 = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
     ed2 = ed2.unionByName(ed2.select(F.col("b").alias("a"), F.col("a").alias("b")))
     ed2 = ed2.dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
+    if driver_threshold and ed2.count() <= driver_threshold:
+        labels_map = _driver_union_find(
+            [(r["a"], r["b"]) for r in ed2.collect()]
+        )
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            list(labels_map.items()), "node long, cluster_id long"
+        )
     labels = ed2.select(F.col("a").alias("node")).dropDuplicates(
         ["node"]
     ).withColumn("lbl", F.col("node"))

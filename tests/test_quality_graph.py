@@ -176,21 +176,26 @@ def _uf_components(edges):
 )
 def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {
-        r["node"]: r["cluster_id"]
-        for r in connected_components(df).collect()
-    }
     want = _uf_components(edges)
-    assert got == want
+    # both execution paths must produce the identical min-label output:
+    # driver union-find (small-graph shortcut) and distributed
+    # pointer-jumping propagation (driver_threshold=0 forces it)
+    for thr in (65536, 0):
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(df, driver_threshold=thr).collect()
+        }
+        assert got == want, thr
 
 
 def test_cc_pointer_jumping_beats_diameter(spark):
     # a 64-node chain has diameter 63; plain min-label propagation needs
     # ~63 rounds, pointer jumping O(log d). max_iter=10 only passes if
-    # the jump is actually shortening the label tree.
+    # the jump is actually shortening the label tree. driver_threshold=0
+    # forces the distributed path (the driver shortcut would hide it).
     edges = [(i, i + 1) for i in range(1, 64)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = connected_components(df, max_iter=10).collect()
+    got = connected_components(df, max_iter=10, driver_threshold=0).collect()
     assert all(r["cluster_id"] == 1 for r in got) and len(got) == 64
 
 
