@@ -441,6 +441,36 @@ def request_pause(out_dir: str, spark: SparkSession | None = None) -> None:
     Fs(spark, out_dir).write_text_atomic(_join(out_dir, "_control", "pause"), "paused")
 
 
+def intermit_until(out_dir: str, spark: SparkSession | None = None) -> float | None:
+    """gobulk's intermittence hook (Format.ExecutionShouldBeIntermitted,
+    format.go:56-63, checked runner.go:161-171): the operator can
+    postpone EXECUTION — the phase that mutates the output store —
+    until a wall-clock time, e.g. to keep bulk writes out of a sink's
+    peak-traffic window. File-based like the pause switch: the epoch in
+    <out>/_control/intermit_until; absent/unparsable means no postpone.
+    Unlike pause (stop and exit), intermittence WAITS in-process and
+    proceeds; scan/parse still run, so the postponed store starts from
+    staged features the moment the window opens."""
+    spark = spark or SparkSession.getActiveSession()
+    fs = Fs(spark, out_dir)
+    p = _join(out_dir, "_control", "intermit_until")
+    if not fs.exists(p):
+        return None
+    try:
+        return float(fs.read_text(p).strip())
+    except ValueError:
+        return None
+
+
+def request_intermittence(
+    out_dir: str, until_epoch: float, spark: SparkSession | None = None
+) -> None:
+    spark = spark or SparkSession.getActiveSession()
+    Fs(spark, out_dir).write_text_atomic(
+        _join(out_dir, "_control", "intermit_until"), repr(float(until_epoch))
+    )
+
+
 def clear_pause(out_dir: str, spark: SparkSession | None = None) -> None:
     spark = spark or SparkSession.getActiveSession()
     Fs(spark, out_dir).delete(_join(out_dir, "_control", "pause"))

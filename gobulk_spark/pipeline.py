@@ -84,6 +84,10 @@ def run_pipeline(
     t_start = time.time()
     out, rid = cfg.out_dir, cfg.run_id
     sink = sink if sink is not None else ParquetKeptSink(out)
+    from .session import ensure_active
+
+    ensure_active(spark)  # scheduler-thread drivers: getActiveSession
+    # is a JVM thread-local, unset off the main thread
     deploy.ship(spark)  # executors must import this package (any cwd)
     summary: dict = {"run_id": rid, "phases": {}, "config": {k: str(v) for k, v in asdict(cfg).items()}}
 
@@ -221,6 +225,23 @@ def run_pipeline(
     if not ck:
         if (p := _pause_check("store")) is not None:
             return p
+        # intermittence (gobulk C4, format.go:56-63): postpone the
+        # store-mutating phase until the operator's window opens.
+        # scan/parse above already ran — the wait starts from staged
+        # features. Pause stays honored while waiting.
+        waited = 0.0
+        while (until := lineage.intermit_until(out, spark)) is not None:
+            remaining = until - time.time()
+            if remaining <= 0:
+                break
+            if (p := _pause_check("store")) is not None:
+                p["intermitted_s"] = round(waited, 3)
+                return p
+            step = min(remaining, 0.5)
+            time.sleep(step)
+            waited += step
+        if waited:
+            summary["intermitted_s"] = round(waited, 3)
         t0 = time.time()
         # heal half-finished kept swaps from a crashed earlier attempt
         # BEFORE anything reads the kept store

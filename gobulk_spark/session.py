@@ -41,3 +41,20 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def ensure_active(spark: SparkSession) -> None:
+    """Pin ``spark`` as the active session for the CURRENT thread.
+
+    getActiveSession() consults a JVM thread-local; a pipeline driven
+    from a scheduler/worker thread (our pause-while-intermitted test,
+    any orchestrator running imports off the main thread) sees None
+    there and every spark=None helper default breaks. No public PySpark
+    API sets it, so reach for the JVM classmethod; harmless no-op if
+    the private surface is unavailable (e.g. Spark Connect)."""
+    try:
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(  # type: ignore[union-attr]
+            spark._jsparkSession
+        )
+    except Exception:
+        pass

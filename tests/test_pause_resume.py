@@ -82,3 +82,65 @@ def test_store_commit_records_subops(spark):
     # the manifest on disk carries them too (resume reads the same dict)
     ck = lineage.phase_committed(out, "r1", "store", spark)
     assert [o["op"] for o in ck["subops"]] == expected
+
+
+def test_intermittence_postpones_store_phase(spark):
+    """gobulk C4: execution (the store-mutating phase) waits until the
+    operator's window opens; scan/parse run immediately, the wait is
+    recorded, and results are identical to an un-postponed run."""
+    import time
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    src = _src()
+    out = os.path.join(BASE, "out_intermit")
+    cfg = PipelineConfig(source_path=src, out_dir=out, run_id="r1")
+    # window far enough out that scan+parse (a few seconds on 300 rows)
+    # cannot consume it — the store phase must genuinely wait
+    until = time.time() + 15
+    lineage.request_intermittence(out, until, spark)
+    s = run_pipeline(spark, cfg)
+    assert s["status"] == "completed"
+    assert s["intermitted_s"] >= 0.5  # actually waited for the window
+    assert time.time() >= until  # store ran only after it opened
+    # identical outcome to the un-postponed reference run
+    out2 = os.path.join(BASE, "out_plain")
+    s2 = run_pipeline(
+        spark, PipelineConfig(source_path=src, out_dir=out2, run_id="r1")
+    )
+    assert "intermitted_s" not in s2
+    for k in ("rows_in", "kept", "dropped", "issues"):
+        assert s["phases"]["store"][k] == s2["phases"]["store"][k]
+
+
+def test_intermittence_honors_pause_while_waiting(spark):
+    import threading
+    import time
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    src = _src()
+    out = os.path.join(BASE, "out_intermit_pause")
+    cfg = PipelineConfig(source_path=src, out_dir=out, run_id="r1")
+    lineage.request_intermittence(out, time.time() + 3600, spark)  # far future
+    result: dict = {}
+
+    def _run() -> None:
+        # the active session is thread-local in PySpark; re-acquire it
+        # so getActiveSession()-based helpers work inside the thread
+        from pyspark.sql import SparkSession
+
+        result.update(run_pipeline(SparkSession.builder.getOrCreate(), cfg))
+
+    t = threading.Thread(target=_run)
+    t.start()
+    # wait until scan+parse committed and the run is inside the
+    # intermittence wait, then pause — it must exit cleanly, not hang
+    deadline = time.time() + 120
+    while time.time() < deadline and not lineage.phase_committed(
+        out, "r1", "parse"
+    ):
+        time.sleep(0.25)
+    lineage.request_pause(out, spark)
+    t.join(timeout=60)
+    assert not t.is_alive()
+    assert result["status"] == "paused" and result["paused_before"] == "store"
+    assert set(result["phases"]) == {"scan", "parse"}  # committed work kept
