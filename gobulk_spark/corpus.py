@@ -243,11 +243,25 @@ def ensure_corpus(out_dir: str, n_rows: int, seed: int = 42) -> str:
     Row-group size is kept small so Spark/parquet splits give real
     parallelism even on a single file.
     """
+    import json
+
     pairs_path = os.path.join(out_dir, "pairs.parquet")
+    stamp_path = os.path.join(out_dir, "_params.json")
+    stamp = {"n_rows": n_rows, "seed": seed}
     if os.path.exists(pairs_path):
-        return pairs_path
+        # the cache is only valid for the SAME (n_rows, seed): silently
+        # returning a stale smaller corpus would make a scaled-up bench
+        # measure the wrong data with no error
+        try:
+            if json.load(open(stamp_path)) == stamp:
+                return pairs_path
+        except (OSError, ValueError):
+            pass  # pre-stamp cache or corrupt stamp: rebuild
+        os.remove(pairs_path)
     os.makedirs(out_dir, exist_ok=True)
     pairs, planted = generate_pairs(n_rows, seed)
     pq.write_table(pairs, pairs_path, row_group_size=max(1024, n_rows // 64))
     pq.write_table(planted, os.path.join(out_dir, "planted.parquet"))
+    with open(stamp_path, "w") as f:
+        json.dump(stamp, f)
     return pairs_path

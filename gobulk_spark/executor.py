@@ -35,6 +35,28 @@ from . import lineage  # noqa: F401  (audit projection below)
 EXECUTION_ORDER = ("delete", "update", "create", "omit")
 
 
+def dedup_exact_redeliveries(decided: DataFrame) -> DataFrame:
+    """Drop extra copies when the SAME (image_id, content_hash) appears
+    more than once in one batch — invisible to scan-phase dedup (both
+    rows ARE the min-id survivor) and it would land twice in the kept
+    store. gobulk's tracker upsert absorbs these as Conflicted
+    (tracker/gorm.go:121).
+
+    Runs on the NARROW post-parse rows (upstream it would shuffle the
+    binary column), and only when a cheap aggregate probe finds actual
+    re-deliveries: the unconditional dropDuplicates shuffle would both
+    collapse the salted partition spread on small batches (AQE
+    coalesces it) and re-partition every downstream write for a
+    condition that is almost always absent. Equal content_hash means
+    identical content, so dropping either copy is lossless."""
+    n_rows, n_keys = decided.select(
+        F.count(F.lit(1)), F.count_distinct("image_id", "content_hash")
+    ).first()
+    if n_rows == n_keys:
+        return decided
+    return decided.dropDuplicates(["image_id", "content_hash"])
+
+
 def classify_actions(decided: DataFrame, existing_ids: DataFrame | None) -> DataFrame:
     """Refine the plan-phase action with an existence check.
 

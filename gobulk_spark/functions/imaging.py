@@ -208,9 +208,6 @@ def _blocks(ch: np.ndarray) -> tuple[np.ndarray, int, int]:
 def encode_dctq(arr: np.ndarray, quality: int = 96) -> bytes:  # 96 -> ~44dB on
     # the noisy synthetic corpus, comfortably above the 40dB contract
     """Encode an RGB uint8 image as DCQ1 (lossy, deterministic)."""
-    import struct
-    import zlib
-
     d = _dct_matrix()
     q = _dcq_qtable(quality)
     h, w = arr.shape[:2]
@@ -226,9 +223,6 @@ def encode_dctq(arr: np.ndarray, quality: int = 96) -> bytes:  # 96 -> ~44dB on
 def decode_dctq(data: bytes) -> np.ndarray:
     """Decode DCQ1 -> RGB uint8; raises PngError on malformed input so
     the issue-routing path treats both codecs uniformly."""
-    import struct
-    import zlib
-
     if data[:4] != _DCQ_MAGIC:
         raise PngError("bad DCQ1 signature")
     try:
@@ -259,6 +253,10 @@ def decode_dctq(data: bytes) -> np.ndarray:
 
 def decode_image(data: bytes) -> np.ndarray:
     """Magic-dispatching decode: PNG (lossless) or DCQ1 (lossy)."""
+    if data is None:
+        # NULL blob must be PngError (decode_batch's issue-row contract),
+        # not a TypeError from the slice below that kills the Arrow task
+        raise PngError("null image payload")
     if data[:4] == _DCQ_MAGIC:
         return decode_dctq(data)
     return decode_png(data)

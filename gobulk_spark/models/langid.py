@@ -103,4 +103,7 @@ def predict(texts: pd.Series) -> pd.DataFrame:
     empty = texts.isna().to_numpy() | (texts.fillna("").str.strip() == "").to_numpy()
     lang[empty] = "und"
     conf[empty] = 0.0
-    return pd.DataFrame({"lang": lang, "lang_conf": conf})
+    # preserve the caller's index (every sibling does): a fresh
+    # RangeIndex silently NaN-corrupts pandas alignment when the input
+    # frame is filtered/sampled (non-default index)
+    return pd.DataFrame({"lang": lang, "lang_conf": conf}, index=texts.index)

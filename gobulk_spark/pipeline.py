@@ -285,6 +285,11 @@ def run_pipeline(
             # three writes consume the frame; cache so parse runs once
             decided = decided.persist()
             persisted = True
+        # AFTER the persist/staging block so the probe inside reads the
+        # cache / staged parquet, never a fresh parse execution. Keep
+        # the persisted parent: unpersist on a derived frame is a no-op
+        _cached = decided
+        decided = executor.dedup_exact_redeliveries(decided)
         if cfg.stop_on_error:
             n_issue = decided.where(F.col("action") == "issue").count()
             if n_issue:
@@ -389,7 +394,7 @@ def run_pipeline(
         )
         stats = obs.get
         if persisted:
-            decided.unpersist()
+            _cached.unpersist()
         if staged:
             # the staged decided snapshot served its purpose (stable
             # input across the delete step); don't let one copy per run

@@ -52,10 +52,14 @@ def parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "image_id": pdf["image_id"],
             "source_file": pdf["source_file"],
             "content_hash": pdf["content_hash"],
-            "w": pdf["w"].astype("int32"),
-            "h": pdf["h"].astype("int32"),
+            # nullable extension dtypes: a NULL w/h/phash arrives as
+            # float64 NaN and plain astype(int) raises
+            # IntCastingNaNError, killing the task — nulls must instead
+            # flow through Arrow to plan.py's fail-closed null handling
+            "w": pdf["w"].astype("Int32"),
+            "h": pdf["h"].astype("Int32"),
             "fmt": pdf["fmt"],
-            "phash": pdf["phash"].astype("int64"),
+            "phash": pdf["phash"].astype("Int64"),
             "scrubbed_caption": scrubbed,
             "decoded_w": dec["decoded_w"].astype("int32"),
             "decoded_h": dec["decoded_h"].astype("int32"),

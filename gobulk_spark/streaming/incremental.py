@@ -37,6 +37,65 @@ SOURCE_DDL = (
 MARKER_COMPACT_EVERY = 8
 
 
+def _retry_root(out_dir: str) -> str:
+    from ..lineage import _join
+
+    return _join(out_dir, "_retry", "pending")
+
+
+def _stage_retry(spark: SparkSession, out_dir: str, rid: str, rows: DataFrame) -> None:
+    """Stage kept rows a sink permanently failed this epoch for future
+    drains. Idempotent per epoch (overwrite of run=<rid>)."""
+    from ..lineage import _join
+
+    rows.write.mode("overwrite").parquet(_join(_retry_root(out_dir), f"run={rid}"))
+
+
+def _drain_retry_queue(
+    spark: SparkSession, out_dir: str, sink: KeptSink, rid: str
+) -> DataFrame | None:
+    """Retry previously-failed kept rows once per epoch.
+
+    Returns the rows that LANDED this drain (localCheckpointed, so the
+    result outlives the consumed queue dirs), or None if the queue was
+    empty. Rows that fail again are re-staged BEFORE the consumed dirs
+    are deleted — a crash in between re-drains them next epoch, which
+    is safe because the retrying sinks write idempotently by id (the
+    same property their conflict-retry contract already requires)."""
+    from ..fsutil import Fs
+    from ..lineage import _join
+
+    fs = Fs(spark, out_dir)
+    root = _retry_root(out_dir)
+    if not fs.exists(root):
+        return None
+    dirs = [
+        d for d in fs.listdir(root) if d.startswith("run=") and d != f"run={rid}"
+    ]
+    if not dirs:
+        return None
+    pend = (
+        spark.read.parquet(*[_join(root, d) for d in dirs])
+        .dropDuplicates(["image_id"])
+        .persist()
+    )
+    fails = sink.write(pend, rid) or []
+    failed_ids = [f["image_id"] for f in fails]
+    landed = (
+        pend.where(~F.col("image_id").isin(failed_ids)) if failed_ids else pend
+    )
+    landed = landed.localCheckpoint(eager=True)
+    if failed_ids:
+        _stage_retry(
+            spark, out_dir, f"{rid}-rq",
+            pend.where(F.col("image_id").isin(failed_ids)),
+        )
+    pend.unpersist()
+    for d in dirs:
+        fs.delete(_join(root, d))
+    return landed
+
+
 def _process_microbatch(
     batch: DataFrame, epoch_id: int, cfg: PipelineConfig, sink: KeptSink | None = None
 ) -> None:
@@ -65,21 +124,27 @@ def _process_microbatch(
     marker = lineage.processed_keys(spark, out, exclude_run_id=rid)
     if marker is not None:
         src = src.join(marker, ["image_id", "content_hash"], "left_anti")
-    deduped = src_scan.anti_join_ids(src, dups, broadcast=True)
-    lineage.write_audit(
-        lineage.audit_columns(
-            dups,
-            rid,
-            F.lit("scan"),
-            F.lit("omit"),
-            F.lit("dedup_content_hash"),
-            F.lit("duplicate"),
-            F.lit(None).cast("string"),
-            content_hash_col=F.col("content_hash"),
-        ),
-        out,
-        "scan",
+    # the scan-audit write IS the dup count (observation): an
+    # AvailableNow drain with no maxFilesPerTrigger can make one epoch
+    # of the entire backlog, so the dup list gets the same broadcast
+    # guard as the batch pipeline — never an unconditional broadcast
+    from pyspark.sql import Observation
+
+    obs = Observation(f"stream-scan-{rid}")
+    dups_audit = lineage.audit_columns(
+        dups,
         rid,
+        F.lit("scan"),
+        F.lit("omit"),
+        F.lit("dedup_content_hash"),
+        F.lit("duplicate"),
+        F.lit(None).cast("string"),
+        content_hash_col=F.col("content_hash"),
+    ).observe(obs, F.count(F.lit(1)).alias("n_dups"))
+    lineage.write_audit(dups_audit, out, "scan", rid)
+    n_dups = obs.get["n_dups"]
+    deduped = src_scan.anti_join_ids(
+        src, dups, broadcast=n_dups <= cfg.dup_broadcast_max
     )
     feats = deduped.mapInPandas(
         make_parse_stage(cfg.stop_on_error), schema=PARSE_OUTPUT_SCHEMA
@@ -89,10 +154,18 @@ def _process_microbatch(
     sink.validate(spark, KEPT_SCHEMA_DDL)  # schema gate, fail fast
     existing = sink.existing_ids(spark, exclude_run_id=rid)
     decided = executor.classify_actions(decided, existing)
-    persisted = staged = False
+    # ALWAYS persist: four downstream actions (kept write, store audit,
+    # metrics, marker advance) consume this frame — without the cache,
+    # epoch 0 of a stream (the full initial backlog, existing=None)
+    # re-ran the whole decode+model parse stage once per action
+    decided = decided.persist()
+    persisted, staged = True, False
+    # after the persist so the re-delivery probe populates (not
+    # bypasses) the cache; keep the persisted parent for unpersist
+    # (a derived frame's unpersist is a no-op) — see pipeline.py
+    _cached = decided
+    decided = executor.dedup_exact_redeliveries(decided)
     if existing is not None:
-        decided = decided.persist()
-        persisted = True
         # materialize before deletes mutate the files decided's lineage
         # reads (see pipeline.py store phase) — but only when deletes
         # WILL run: on a mostly-append stream the per-epoch staging
@@ -101,38 +174,78 @@ def _process_microbatch(
         if not decided.where(F.col("action").isin("update", "delete")).isEmpty():
             decided_path = lineage.stage_dir(out, rid, "decided")
             decided.write.mode("overwrite").parquet(decided_path)
-            decided.unpersist()
+            _cached.unpersist()  # the persisted parent, not the view
             persisted = False
             decided = spark.read.parquet(decided_path)
             staged = True
             executor.execute_deletes(spark, sink, rid, decided)
-    failures = sink.write(executor.kept_rows(decided, KEPT_COLUMNS), rid)
+    failures = sink.write(executor.kept_rows(decided, KEPT_COLUMNS), rid) or []
+    # dead-letter drain: the stream checkpoint has already consumed the
+    # source files of previously-failed rows, so — unlike batch, where
+    # manifest withholding forces a source re-read — the ONLY in-stream
+    # re-delivery lever is this staged retry queue of kept rows
+    retried = _drain_retry_queue(spark, out, sink, rid)
     audit = executor.store_audit_columns(decided, rid)
     if failures:
         # per-item sink failures land as audit issues (see pipeline.py)
         audit = audit.unionByName(
             executor.write_failure_audit(spark, failures, rid)
         )
+    if retried is not None:
+        # previously-failed rows that landed this epoch: close the loop
+        # in the audit (their failure epochs recorded them as issues)
+        audit = audit.unionByName(
+            lineage.audit_columns(
+                retried,
+                rid,
+                F.lit("store"),
+                F.lit("retry_landed"),
+                F.lit("sink_retry_queue"),
+                F.lit(None).cast("string"),
+                F.lit(None).cast("string"),
+                content_hash_col=F.col("content_hash"),
+            )
+        )
     lineage.write_audit(audit, out, "store", rid)
     lineage.write_metrics(lineage.partition_metrics(decided, rid), out, "store", rid)
     # advance the compacted marker with this epoch's pairs (decided +
-    # in-batch dups); the atomic pointer flip is the epoch's cross-batch
-    # dedup commit point, retry-idempotent (predecessor snapshot kept).
-    # Items the sink failed to land stay OUT so a later epoch re-imports
+    # in-batch dups + drained retries); the atomic pointer flip is the
+    # epoch's cross-batch dedup commit point, retry-idempotent
+    # (predecessor snapshot kept). Items the sink failed to land stay
+    # OUT of the marker and into the retry queue
     new_pairs = decided.select("image_id", "content_hash")
     if failures:
-        new_pairs = new_pairs.where(
-            ~F.col("image_id").isin([f["image_id"] for f in failures])
+        failed_ids = [f["image_id"] for f in failures]
+        new_pairs = new_pairs.where(~F.col("image_id").isin(failed_ids))
+        _stage_retry(
+            spark,
+            out,
+            rid,
+            executor.kept_rows(decided, KEPT_COLUMNS).where(
+                F.col("image_id").isin(failed_ids)
+            ),
+        )
+    if retried is not None:
+        new_pairs = new_pairs.unionByName(
+            retried.select("image_id", "content_hash")
+        )
+    if n_dups:
+        # reuse the committed scan-audit leaf instead of recomputing
+        # the dedup scan (pipeline.py does the same)
+        new_pairs = new_pairs.unionByName(
+            spark.read.parquet(lineage.audit_leaf(out, "scan", rid)).select(
+                "image_id", "content_hash"
+            )
         )
     lineage.advance_marker(
         spark,
         out,
         rid,
-        new_pairs.unionByName(dups.select("image_id", "content_hash")),
+        new_pairs,
         compact_every=MARKER_COMPACT_EVERY,
     )
     if persisted:
-        decided.unpersist()
+        _cached.unpersist()
     if staged:
         # one staged snapshot per EPOCH would grow without bound on a
         # long-lived stream; drop it once the epoch's writes are done

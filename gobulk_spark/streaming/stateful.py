@@ -50,6 +50,12 @@ def make_track_sessions(gap_ms: int = GAP_MS):
             return
         n, first_ts, last_ts = state.get if state.exists else (0, None, None)
         for pdf in pdfs:
+            # a NULL ts_ms arrives as NaN in a float64 column; astype
+            # int64 would raise and kill the whole streaming query —
+            # fail closed by skipping the malformed rows instead
+            pdf = pdf.dropna(subset=["ts_ms"])
+            if pdf.empty:
+                continue
             ts = pdf["ts_ms"].astype("int64")
             n += len(pdf)
             lo, hi = int(ts.min()), int(ts.max())

@@ -213,3 +213,59 @@ def test_validate_passes_on_healthy_store(spark):
     out = os.path.join(BASE, "out")
     run_pipeline(spark, PipelineConfig(source_path=src, out_dir=out, run_id="r1"))
     ParquetKeptSink(out).validate(spark, KEPT_SCHEMA_DDL)  # must not raise
+
+
+def test_streaming_retry_queue_redelivers_failed_rows(spark):
+    """The stream checkpoint consumes source files even when the sink
+    permanently fails rows, so the staged retry queue is the only
+    in-stream re-delivery lever: failed rows must land in a LATER epoch
+    once the sink heals, enter the marker, and close the audit loop."""
+    import pyarrow.parquet as pq2
+
+    from gobulk_spark.corpus import generate_pairs
+    from gobulk_spark.streaming.incremental import run_streaming_ingest
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    src_dir = os.path.join(BASE, "stream_src")
+    out = os.path.join(BASE, "stream_out")
+    os.makedirs(src_dir)
+    pairs, _ = generate_pairs(120, seed=9)
+    pq2.write_table(pairs.slice(0, 60), os.path.join(src_dir, "part-000.parquet"))
+
+    healthy = {"v": False}
+    victims: set[str] = set()
+
+    def fault(item, attempt):
+        if healthy["v"]:
+            return None
+        if int(item["image_id"].split("-")[-1], 16) % 7 == 0:  # hex ids
+            victims.add(item["image_id"])
+            return "permanent"
+        return None
+
+    sink = UnreliableMemoryKeptSink(fault=fault)
+    cfg = PipelineConfig(source_path=src_dir, out_dir=out, run_id="s1")
+    run_streaming_ingest(spark, cfg, src_dir, sink=sink)
+    assert victims, "fault injection never fired"
+
+    def stored_ids():
+        return {
+            i for f in sink.runs.values() for i in f["image_id"].tolist()
+        }
+
+    assert not (victims & stored_ids())  # failed rows are NOT stored
+
+    # sink heals; a new file triggers the next epoch, which drains the
+    # retry queue alongside its own rows
+    healthy["v"] = True
+    pq2.write_table(pairs.slice(60, 60), os.path.join(src_dir, "part-001.parquet"))
+    run_streaming_ingest(spark, cfg, src_dir, sink=sink)
+    assert victims <= stored_ids()  # re-delivered despite consumed files
+    audit = lineage.read_audit(spark, out).toPandas()
+    landed = set(audit.loc[audit.action == "retry_landed", "image_id"])
+    assert victims <= landed
+    # and the marker now covers them: a third no-op epoch re-imports nothing
+    pq2.write_table(pairs.slice(0, 0), os.path.join(src_dir, "part-002.parquet"))
+    run_streaming_ingest(spark, cfg, src_dir, sink=sink)
+    audit3 = lineage.read_audit(spark, out).toPandas()
+    assert len(audit3[audit3.action == "retry_landed"]) == len(landed)

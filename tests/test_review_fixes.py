@@ -98,3 +98,29 @@ def test_numeric_run_id_round_trips_through_store(spark, tmp_path):
     back = lineage.read_kept(spark, kept)
     assert dict(back.dtypes)["run"] == "string"
     assert back.where(F.col("run") == "20240816").count() == 1
+
+
+def test_exact_redelivery_lands_once(spark, tmp_path):
+    """The SAME (image_id, content_hash) delivered twice in one batch is
+    invisible to scan dedup (both rows are the min-id survivor) — the
+    store must still land exactly one copy."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gobulk_spark.config import PipelineConfig
+    from gobulk_spark.corpus import generate_pairs
+    from gobulk_spark.pipeline import run_pipeline
+    from gobulk_spark.sinks import MemoryKeptSink
+
+    pairs, _ = generate_pairs(80, seed=11)
+    doubled = pa.concat_tables([pairs, pairs.slice(0, 5)])  # re-deliver 5 rows
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(doubled, src)
+    sink = MemoryKeptSink()
+    run_pipeline(
+        spark,
+        PipelineConfig(source_path=src, out_dir=str(tmp_path / "out"), run_id="r1"),
+        sink=sink,
+    )
+    kept = sink.read(spark).toPandas()
+    assert kept["image_id"].is_unique, kept[kept.image_id.duplicated(keep=False)]
