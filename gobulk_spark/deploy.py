@@ -19,6 +19,38 @@ from pyspark.sql import SparkSession
 _SHIPPED: set[str] = set()
 
 
+def package_payload(pkg_dir: str | None = None) -> list[tuple[str, str]]:
+    """Sorted (abs_path, arcname) for every package .py file — the ONE
+    packaging rule, shared by the runtime self-ship below and the
+    spark-submit builder (jobs/package.py). Two hand-synced walkers
+    would eventually ship different code to executors depending on the
+    deployment path."""
+    pkg_dir = pkg_dir or os.path.dirname(os.path.abspath(__file__))
+    payload = []
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                payload.append(
+                    (full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+                )
+    return payload
+
+
+def write_zip(payload: list[tuple[str, str]], out_path: str) -> str:
+    """Zip the payload with a per-pid tmp + atomic replace (concurrent
+    drivers share the target path; a half-written zip must never be
+    addPyFile'd)."""
+    tmp = f"{out_path}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+        for full, rel in payload:
+            z.write(full, rel)
+    os.replace(tmp, out_path)
+    return out_path
+
+
 def ship(spark: SparkSession) -> None:
     """Idempotently distribute gobulk_spark to executor workers.
 
@@ -37,15 +69,7 @@ def ship(spark: SparkSession) -> None:
         return
     import hashlib
 
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    payload = []
-    for root, _dirs, files in sorted(os.walk(pkg_dir)):
-        if "__pycache__" in root:
-            continue
-        for f in sorted(files):
-            if f.endswith(".py"):
-                full = os.path.join(root, f)
-                payload.append((full, os.path.relpath(full, os.path.dirname(pkg_dir))))
+    payload = package_payload()
     h = hashlib.md5()
     for full, rel in payload:  # path + content: renames change the digest
         h.update(rel.encode())
@@ -56,10 +80,6 @@ def ship(spark: SparkSession) -> None:
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"gobulk_spark-{digest}.zip")
     if not os.path.exists(out_path):
-        tmp = f"{out_path}.{os.getpid()}.tmp"  # per-pid + rename: no torn zips
-        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
-            for full, rel in payload:
-                z.write(full, rel)
-        os.replace(tmp, out_path)
+        write_zip(payload, out_path)
     sc.addPyFile(out_path)
     _SHIPPED.add(key)

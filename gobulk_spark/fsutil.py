@@ -25,6 +25,7 @@ class Fs:
         jvm = spark._jvm
         jsc = spark._jsc
         self._jvm = jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = jsc.hadoopConfiguration()
         self._path_cls = jvm.org.apache.hadoop.fs.Path
         self._fs = self._path_cls(path).getFileSystem(self._conf)
@@ -68,9 +69,34 @@ class Fs:
         finally:
             stream.close()
 
+    def rename_overwrite(self, src: str, dst: str) -> bool:
+        """Single-operation rename that REPLACES dst, via the
+        FileContext API (local/HDFS support Options.Rename.OVERWRITE).
+        Returns False where the store lacks it — callers fall back to
+        delete-then-rename and accept that window."""
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._p(dst).toUri(), self._conf
+            )
+            rename_opt = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gateway.new_array(rename_opt, 1)
+            opts[0] = rename_opt.OVERWRITE
+            fc.rename(self._p(src), self._p(dst), opts)
+            return True
+        except Exception:
+            return False
+
     def write_text_atomic(self, path: str, text: str) -> None:
         """tmp-then-rename write: readers see the old or the new file,
-        never a torn one (the checkpoint commit flip)."""
+        never a torn one (the checkpoint / marker-pointer commit flip).
+
+        The replace is ONE FileContext rename-with-overwrite wherever
+        the store supports it — plain FileSystem.rename refuses to
+        clobber, and delete-then-rename leaves a window where the
+        pointer file is ABSENT (a crash there would silently demote
+        marker reads to the O(history) legacy scan). The two-step form
+        survives only as the fallback for stores without FileContext
+        overwrite."""
         parent = path.rsplit("/", 1)[0]
         self.mkdirs(parent)
         tmp = f"{path}.tmp"
@@ -79,8 +105,8 @@ class Fs:
             stream.write(bytearray(text.encode("utf-8")))
         finally:
             stream.close()
-        # Hadoop rename refuses to clobber: drop a stale target first
-        # (single-writer-per-(run,phase) makes this safe)
+        if self.rename_overwrite(tmp, path):
+            return
         if self.exists(path):
             self.delete(path)
         if not self.rename(tmp, path):

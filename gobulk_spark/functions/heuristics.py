@@ -64,7 +64,14 @@ def toxicity_hits(caption: Column) -> Column:
 
 
 def is_blank(caption: Column) -> Column:
-    return caption.isNull() | (F.trim(caption) == F.lit(""))
+    # regexp strip, NOT F.trim: trim removes only spaces, while the
+    # pandas reference (rules.rule_masks) uses str.strip() — a
+    # tab/newline-only caption must fire caption_missing on BOTH sides
+    # or the drop_reason parity contract breaks ('\s' matches the
+    # ASCII whitespace set Python strip() covers on this corpus)
+    return caption.isNull() | (
+        F.regexp_replace(caption, r"^\s+|\s+$", "") == F.lit("")
+    )
 
 
 def content_hash(bytes_col: Column, caption: Column) -> Column:

@@ -45,9 +45,16 @@ def scrub_captions(captions: pd.Series) -> pd.Series:
 
 
 def pii_hit_counts(captions: pd.Series) -> pd.DataFrame:
-    """Per-rule match counts (for metrics/audit), vectorized."""
-    base = captions.fillna("")
-    return pd.DataFrame(
-        {name: base.str.count(pat.pattern) for name, pat, _ in SCRUB_RULES},
-        index=captions.index,
-    )
+    """Per-rule match counts (for metrics/audit), vectorized.
+
+    Counts run against the PROGRESSIVELY-scrubbed text — the same
+    intermediate states scrub_captions actually replaces on — so the
+    counts equal what was masked: counting every rule on the raw text
+    double-counts nested patterns ('john@192.168.0.1' is one <EMAIL>
+    replacement, not email=1 AND ipv4=1)."""
+    cur = captions.fillna("")
+    cols = {}
+    for name, pat, repl in SCRUB_RULES:
+        cols[name] = cur.str.count(pat.pattern)
+        cur = cur.str.replace(pat, repl, regex=True)
+    return pd.DataFrame(cols, index=captions.index)

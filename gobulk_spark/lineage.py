@@ -65,11 +65,19 @@ def read_kept(spark: SparkSession, out_dir: str) -> DataFrame | None:
     break every string comparison downstream (existing_ids' run
     exclusion, delete-leaf selection) and make the sink's schema
     validation reject a store the engine itself wrote."""
+    from pyspark.errors import AnalysisException
+
     fs = Fs(spark, out_dir)
     path = kept_dir(out_dir)
     if not any(e.startswith("run=") for e in fs.listdir(path)):
         return None
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        # run= dirs exist but hold no data files (a run that kept ZERO
+        # rows writes only _SUCCESS): UNABLE_TO_INFER_SCHEMA — an empty
+        # store, not an error
+        return None
     return df.withColumn("run", F.col("run").cast("string"))
 
 
@@ -130,13 +138,18 @@ def audit_leaf(out_dir: str, phase: str, run_id: str) -> str:
 
 
 def read_audit(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
     fs = Fs(spark, out_dir)
     path = audit_dir(out_dir)
     if not any(e.startswith("wphase=") for e in fs.listdir(path)):
         return None
     # wphase=/run= dirs discovered as partitions; run cast to string
     # for the same type-inference reason as read_kept
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:  # all leaves empty (see read_kept)
+        return None
     return df.withColumn("run", F.col("run").cast("string"))
 
 
@@ -236,15 +249,21 @@ def _legacy_marker(
 
 def _marker_state(
     latest: dict, exclude_run_id: str | None
-) -> tuple[str | None, list[dict]]:
-    """(snapshot_name, ordered delta entries) visible to a run.
+) -> tuple[str | None, list[dict], bool]:
+    """(snapshot_name, ordered delta entries, legacy_fallback) visible
+    to a run.
 
     Deltas written by the excluded run are dropped (a torn epoch retry
     must not see its own half-committed delta); when the SNAPSHOT
     itself belongs to the excluded run and no later deltas exist, the
     recorded predecessor state (snapshot + the deltas it compacted
     over) is returned instead — the retried run sees exactly its first
-    attempt's input.
+    attempt's input. A torn BOOTSTRAP snapshot (prev is None: the first
+    attempt compacted the legacy audit baseline) has no predecessor
+    snapshot to fall back to — legacy_fallback=True tells the caller
+    to re-read the legacy audit marker, exactly what the first attempt
+    consumed; returning "empty" there would silently drop every
+    pre-marker (image_id, content_hash) pair.
     """
     deltas = [
         d
@@ -256,9 +275,11 @@ def _marker_state(
         and latest["run_id"] == exclude_run_id
         and not latest.get("deltas")
     ):
-        prev = latest.get("prev") or {}
-        return prev.get("path"), prev.get("deltas", [])
-    return latest["path"], deltas
+        prev = latest.get("prev")
+        if prev is None:  # torn bootstrap: predecessor IS the legacy audit
+            return None, [], True
+        return prev.get("path"), prev.get("deltas", []), False
+    return latest["path"], deltas, False
 
 
 def _merge_marker_frames(frames: list[DataFrame]) -> DataFrame:
@@ -310,7 +331,9 @@ def processed_keys(
     latest = _marker_latest(fs, out_dir)
     if latest is None:
         return _legacy_marker(spark, out_dir, exclude_run_id)
-    snap, deltas = _marker_state(latest, exclude_run_id)
+    snap, deltas, legacy_fb = _marker_state(latest, exclude_run_id)
+    if legacy_fb:  # torn bootstrap retry: first attempt's input
+        return _legacy_marker(spark, out_dir, exclude_run_id)
     root = marker_root(out_dir)
     frames = [spark.read.parquet(_join(root, snap))] if snap else []
     frames += [spark.read.parquet(_join(root, d["name"])) for d in deltas]
@@ -364,16 +387,27 @@ def advance_marker(
         compact = True
     else:
         seq = latest["seq"] + 1
-        snap, deltas = _marker_state(latest, exclude_run_id=run_id)
-        frames = (
-            [spark.read.parquet(_join(root, snap))] if snap else []
-        ) + [spark.read.parquet(_join(root, d["name"])) for d in deltas]
-        frames.append(new)
-        # force compaction when the live snapshot is this run's own torn
-        # one: a delta appended on top of it would leave no state readers
-        # excluding this run could fall back to
-        compact = len(deltas) + 1 >= compact_every or latest["run_id"] == run_id
-        prev = {"path": snap, "deltas": deltas}
+        snap, deltas, legacy_fb = _marker_state(latest, exclude_run_id=run_id)
+        if legacy_fb:
+            # torn BOOTSTRAP retry: rebuild from the legacy audit, like
+            # the first attempt did — compacting only `new` here would
+            # permanently drop every pre-marker pair
+            base = _legacy_marker(spark, out_dir, exclude_run_id=run_id)
+            frames = ([base] if base is not None else []) + [new]
+            compact = True
+            prev = None
+        else:
+            frames = (
+                [spark.read.parquet(_join(root, snap))] if snap else []
+            ) + [spark.read.parquet(_join(root, d["name"])) for d in deltas]
+            frames.append(new)
+            # force compaction when the live snapshot is this run's own
+            # torn one: a delta appended on top of it would leave no
+            # state readers excluding this run could fall back to
+            compact = (
+                len(deltas) + 1 >= compact_every or latest["run_id"] == run_id
+            )
+            prev = {"path": snap, "deltas": deltas}
     if compact:
         snap_name = f"snap-{seq:08d}-{run_id}"
         merged = frames[0] if len(frames) == 1 else _merge_marker_frames(frames)
@@ -479,11 +513,15 @@ def clear_pause(out_dir: str, spark: SparkSession | None = None) -> None:
 def recover_kept_swaps(spark: SparkSession, out_dir: str) -> list[str]:
     """Heal every half-finished kept-directory swap before ANY read.
 
-    A crash between replace_dir's two renames leaves ``.run=X.bak-rid``
-    holding the only copy of run X's rows. Classification and the
-    delete step read the kept store, so recovery must run first — a
-    stranded backup would otherwise be invisible (its run missing from
-    the store) and never restored. Called at store-phase entry.
+    A crash between replace_dir's two renames leaves a ``.X.bak-rid``
+    backup holding the only copy of those rows. The engine itself
+    swaps at (run, lang)-leaf granularity (delete_keys_from_prior_runs
+    is the only replace_dir call site), but recovery also handles
+    run-LEVEL backups — produced by older layouts or operator tooling
+    moving whole runs aside — so a stranded backup of either
+    granularity is restored rather than silently invisible (its rows
+    missing from the store). Called at store-phase entry; both shapes
+    are crash-sim tested.
     """
     fs = Fs(spark, out_dir)
     root = kept_dir(out_dir)

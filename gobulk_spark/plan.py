@@ -72,7 +72,6 @@ def decision_columns(df: DataFrame, t: Thresholds) -> DataFrame:
     """
     df = df.withColumn("n_words", H.n_words(F.col("scrubbed_caption")))
     conds = rule_conditions(t)
-    reason = F.lit(None).cast("string")
     chain = None
     for name in RULE_ORDER:
         fired = F.coalesce(conds[name], F.lit(True))  # null feature = fail closed

@@ -35,6 +35,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         # oracle comparisons: duckdb timestamps are UTC-naive
         .config("spark.sql.session.timeZone", "UTC")
+        # partition values are IDENTIFIERS here (run=007, lang=en):
+        # inference would type run=007 as int 7, breaking the string
+        # round-trip the delete-leaf swap and run-exclusion compare
+        # depend on (read_kept's cast would yield '7' != '007')
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

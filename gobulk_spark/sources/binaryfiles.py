@@ -42,8 +42,19 @@ def read_binary_dir(
     if modify_scan is not None:
         df = modify_scan(df)
     return df.select(
-        F.regexp_extract(F.col("path"), r"([^/]+?)(\.[A-Za-z0-9]+)?$", 1).alias(
+        # the id is the scheme-stripped PATH — gobulk's container key is
+        # the full identifier (buildContainerKey = join(repo, identifier),
+        # utils.go:19-21) precisely because a friendly basename silently
+        # collides (a/x.png vs b/x.png, x.png vs x.jpg) and a collision
+        # corrupts every id-keyed tier: classify marks one an update of
+        # the other and the marker's latest-hash-per-id flaps forever
+        F.regexp_replace(F.col("path"), r"^[A-Za-z][A-Za-z0-9+.\-]*:/+", "").alias(
             "image_id"
+        ),
+        # the basename-minus-extension, for callers that want a display
+        # name and KNOW their layout makes it unique
+        F.regexp_extract(F.col("path"), r"([^/]+?)(\.[A-Za-z0-9]+)?$", 1).alias(
+            "file_stem"
         ),
         F.col("content").alias("bytes"),
         F.col("path").alias("source_file"),

@@ -1,32 +1,28 @@
-"""Build the --py-files zip for spark-submit deployment."""
+"""Build the --py-files zip for spark-submit deployment.
+
+Delegates to gobulk_spark.deploy's shared payload/zip builders — the
+runtime self-ship and this CLI must package IDENTICAL code, or the two
+deployment paths drift (see deploy.package_payload).
+"""
 
 from __future__ import annotations
 
 import os
 import sys
-import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from gobulk_spark.deploy import package_payload, write_zip  # noqa: E402
 
 
 def build(out_path: str | None = None) -> str:
     out_path = out_path or os.path.join(REPO, "dist", "gobulk_spark.zip")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    pkg = os.path.join(REPO, "gobulk_spark")
-    # write per-process, then atomically rename: concurrent drivers
-    # (parallel bench legs / test sessions) share the target path and
-    # must never addPyFile a half-written zip
-    tmp_path = f"{out_path}.{os.getpid()}.tmp"
-    with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as z:
-        for root, _dirs, files in os.walk(pkg):
-            if "__pycache__" in root:
-                continue
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    z.write(full, os.path.relpath(full, REPO))
-    os.replace(tmp_path, out_path)
-    return out_path
+    return write_zip(
+        package_payload(os.path.join(REPO, "gobulk_spark")), out_path
+    )
 
 
 if __name__ == "__main__":

@@ -292,3 +292,42 @@ def test_read_changed_files_preserves_partition_columns(spark):
     # empty change set keeps the schema too (footer-only scan)
     empty = src_manifest.read_changed_files(spark, src, [])
     assert "grp" in empty.columns and empty.count() == 0
+
+
+def test_torn_bootstrap_retry_keeps_legacy_pairs(spark):
+    """First marker advance on a legacy out_dir compacts the audit
+    baseline (prev=None). If that run crashes AFTER the pointer flip,
+    its retry must re-read the LEGACY audit — not an empty predecessor
+    — or every pre-marker pair is silently dropped."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    _write_sharded(200)
+    out = os.path.join(BASE, "out_boot")
+    run_pipeline(spark, PipelineConfig(source_path=SRC, out_dir=out, run_id="r1"))
+    shutil.rmtree(os.path.join(out, "_marker"))  # pre-round-3 layout
+    # bootstrap advance by r2 (the torn first attempt: LATEST flipped)
+    lineage.advance_marker(
+        spark, out, "r2", _pairs_df(spark, [("new-1", "h1")])
+    )
+    assert len(_read_marker_set(spark, out)) == 201
+    # retry of r2: must see the legacy baseline (its first attempt's
+    # input), not an empty marker
+    retry_view = _read_marker_set(spark, out, exclude="r2")
+    assert len(retry_view) == 200 and "new-1" not in retry_view
+    # and the re-advance reproduces the full state, legacy included
+    lineage.advance_marker(
+        spark, out, "r2", _pairs_df(spark, [("new-1", "h1")])
+    )
+    final = _read_marker_set(spark, out)
+    assert len(final) == 201 and final["new-1"] == "h1"
+
+
+def test_read_kept_all_runs_empty_returns_none(spark):
+    """A run that kept ZERO rows writes only _SUCCESS under run=X;
+    read_kept must report an empty store, not crash with
+    UNABLE_TO_INFER_SCHEMA (which bricked every later run)."""
+    out = os.path.join(BASE, "out_empty_store")
+    shutil.rmtree(out, ignore_errors=True)
+    empty = spark.createDataFrame([], "image_id string, lang string, run string")
+    empty.write.partitionBy("run", "lang").parquet(lineage.kept_dir(out))
+    os.makedirs(os.path.join(lineage.kept_dir(out), "run=r1"), exist_ok=True)
+    assert lineage.read_kept(spark, out) is None

@@ -124,3 +124,35 @@ def test_exact_redelivery_lands_once(spark, tmp_path):
     )
     kept = sink.read(spark).toPandas()
     assert kept["image_id"].is_unique, kept[kept.image_id.duplicated(keep=False)]
+
+
+def test_is_blank_spark_matches_pandas(spark):
+    """'\t\n' captions: Spark's F.trim strips only spaces — is_blank
+    must match the pandas reference (str.strip(), all whitespace) or
+    drop_reason diverges between the labeler and the plan chain."""
+    import pandas as pd
+
+    from gobulk_spark.functions.heuristics import is_blank
+
+    caps = pd.Series(["\t\n", "  ", "x", None, " \r "])
+    pd_blank = (caps.isna() | (caps.fillna("").str.strip() == "")).tolist()
+    df = spark.createDataFrame(
+        [(c,) for c in caps], "caption string"
+    )
+    got = [r[0] for r in df.select(is_blank(F.col("caption"))).collect()]
+    assert got == pd_blank == [True, True, False, True, True]
+
+
+def test_pii_counts_match_actual_replacements():
+    """Nested patterns count once: 'john@192.168.0.1' is one <EMAIL>
+    replacement — reporting ipv4=1 as well would overstate PII hits
+    relative to what scrub_captions actually masked."""
+    import pandas as pd
+
+    from gobulk_spark.functions.scrub import pii_hit_counts, scrub_captions
+
+    caps = pd.Series(["mail john@1.2.3.4.com now", "ip 10.0.0.1 only"])
+    counts = pii_hit_counts(caps)
+    assert counts["email"].tolist() == [1, 0]
+    assert counts["ipv4"].tolist() == [0, 1]
+    assert scrub_captions(caps)[0] == "mail <EMAIL> now"

@@ -28,7 +28,12 @@ def file_dir(tmp_path_factory):
 def test_binaryfile_source_glob_and_pushdown(spark, file_dir):
     df = read_binary_dir(spark, file_dir, glob="*.png")
     rows = df.orderBy("image_id").collect()
-    assert [r.image_id for r in rows] == [f"img-{i:04d}" for i in range(6)]
+    # collision-free id: the scheme-stripped path (gobulk's container
+    # key); the friendly stem rides along separately
+    assert [r.file_stem for r in rows] == [f"img-{i:04d}" for i in range(6)]
+    assert all(r.image_id.endswith(f"img-{i:04d}.png") for i, r in enumerate(rows))
+    assert not rows[0].image_id.startswith("file:")
+    assert len({r.image_id for r in rows}) == 6
     assert all(r.bytes.startswith(b"\x89PNG") for r in rows)
     # length predicate reaches the scan (binaryFile supports length pushdown)
     small = read_binary_dir(spark, file_dir, glob="*.png", max_bytes=2200)
