@@ -101,30 +101,58 @@ def kept_rows(decided: DataFrame, columns: tuple[str, ...]) -> DataFrame:
     )
 
 
-def write_failure_audit(
-    spark: SparkSession, failures: list[dict], run_id: str
-) -> DataFrame:
-    """Audit issue rows for items a transactional sink could not land
-    after its retry budget (gobulk's per-item bulk-response issues,
-    output/elasticsearch.go:309-320). Small by construction (bounded by
-    the backend's failure count), built driver-side."""
+#: schema of a sink's per-item write failures, whichever form the
+#: backend returns them in (list-of-dicts from the driver-side test
+#: doubles; a staged-parquet-backed DataFrame from PartitionedRetrySink)
+FAILURE_SCHEMA_DDL = (
+    "image_id string, source_file string, content_hash string, "
+    "payload string, error_msg string, attempts int"
+)
+
+
+def failures_frame(spark: SparkSession, failures) -> DataFrame | None:
+    """Normalize ``sink.write``'s result to a failures DataFrame (or
+    None when nothing failed).
+
+    Every downstream consumer — failure audit, marker exclusion, retry
+    staging, manifest withholding — routes through DataFrame joins on
+    this frame, never through a driver-side id list: a wholesale epoch
+    failure (every row permanent) must not become an ``isin()``
+    expression-tree bomb or a driver materialization of row data."""
+    if failures is None:
+        return None
+    if isinstance(failures, DataFrame):
+        return failures
+    if not failures:
+        return None
     rows = [
         (
             f["image_id"],
             f.get("source_file"),
             f.get("content_hash"),
             f.get("payload"),
-            f"{f['error_msg']} (attempts={f.get('attempts')})",
+            f.get("error_msg"),
+            f.get("attempts"),
         )
         for f in failures
     ]
-    base = spark.createDataFrame(
-        rows,
-        "image_id string, source_file string, content_hash string, "
-        "payload string, error_msg string",
+    return spark.createDataFrame(rows, FAILURE_SCHEMA_DDL)
+
+
+def write_failure_audit(failed: DataFrame, run_id: str) -> DataFrame:
+    """Audit issue rows for items a transactional sink could not land
+    after its retry budget (gobulk's per-item bulk-response issues,
+    output/elasticsearch.go:309-320). A pure column projection over the
+    failures frame — scales to wholesale failure without touching the
+    driver."""
+    msg = F.concat(
+        F.col("error_msg"),
+        F.lit(" (attempts="),
+        F.coalesce(F.col("attempts").cast("string"), F.lit("None")),
+        F.lit(")"),
     )
     return lineage.audit_columns(
-        base,
+        failed,
         run_id,
         F.lit("execute"),
         F.lit("issue"),
@@ -133,7 +161,7 @@ def write_failure_audit(
         F.lit("output_write"),
         content_hash_col=F.col("content_hash"),
         payload_col=F.col("payload"),
-        error_col=F.col("error_msg"),
+        error_col=msg,
     )
 
 

@@ -349,7 +349,11 @@ def ivf_cells_for_band_budget(
     Returns 1 when plain banding already fits (small n / high
     threshold) — the caller skips the IVF tier entirely.
     """
-    p = 1.0 - math.acos(min_cosine) / math.pi
+    if min_cosine >= 1.0:
+        # exact-duplicate threshold: p -> 1, log(p) -> 0; every band
+        # matches, so plain banding always fits — no IVF tier needed
+        return 1
+    p = 1.0 - math.acos(min(min_cosine, 1.0)) / math.pi
     q = 1.0 - (1.0 - target_recall) ** (1.0 / max_bands)
     r_max = max(1, int(math.log(q) / math.log(p)))
     n_cell_max = max_bucket_size * (2**r_max) / 4.0

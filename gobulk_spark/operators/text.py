@@ -478,6 +478,16 @@ def simhash_near_dups(
         n_rows = sig.count()
     if probe_radius is None:
         probe_radius = simhash_probe_radius(max_hamming, n_rows)
+    if probe_radius >= max(max_hamming, 1):
+        # t >= max_hamming collapses the plan to ONE 64-bit band, whose
+        # probe masks include 1<<63 — unrepresentable as a positive
+        # LongType literal (and the mask count can sit under the
+        # 100k guard for small t, so this must be rejected up front)
+        raise ValueError(
+            f"probe_radius={probe_radius} must be < max_hamming="
+            f"{max_hamming} (pigeonhole needs >= 2 bands; let it "
+            "default to the cost-model optimum)"
+        )
     plan = simhash_band_plan(max_hamming, probe_radius)
     banded = sig.select(
         F.col(id_col),

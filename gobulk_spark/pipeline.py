@@ -315,15 +315,20 @@ def run_pipeline(
         # A transactional backend may return per-item failures it could
         # not land after its retry budget — routed below to the audit as
         # issue rows and excluded from the marker so they re-enter next
-        # run (gobulk records failed ops as issues, issue.go:137-146)
-        write_failures: list[dict] = []
+        # run (gobulk records failed ops as issues, issue.go:137-146).
+        # Normalized to a DataFrame: every consumer joins against it, so
+        # wholesale failure never builds a driver-side id list
+        _fail_box: list = [None]
 
         def _write_kept() -> None:
             f = sink.write(executor.kept_rows(decided, KEPT_COLUMNS), rid)
-            if f:
-                write_failures.extend(f)
+            _fail_box[0] = executor.failures_frame(spark, f)
 
         _sub("write_kept", _write_kept)
+        failed_df = _fail_box[0]
+        # bounded count for the commit manifest (the frame is either a
+        # local relation or a staged-parquet read-back — one cheap job)
+        n_failed = failed_df.count() if failed_df is not None else 0
         # --- O: omits/issues reach only the audit + metrics tables -----
         audit = executor.store_audit_columns(decided, rid)
         # run totals ride the audit write as an observation — no read-back
@@ -335,10 +340,8 @@ def run_pipeline(
             F.sum(F.col("action").isin("omit", "delete").cast("long")).alias("dropped"),
             F.sum((F.col("action") == "issue").cast("long")).alias("issues"),
         )
-        if write_failures:
-            audit = audit.unionByName(
-                executor.write_failure_audit(spark, write_failures, rid)
-            )
+        if n_failed:
+            audit = audit.unionByName(executor.write_failure_audit(failed_df, rid))
         _sub("write_audit", lambda: lineage.write_audit(audit, out, "store", rid))
         _sub(
             "write_metrics",
@@ -351,13 +354,15 @@ def run_pipeline(
         # snapshot the NEXT run's anti-join reads (replaces round 2's
         # full-audit groupBy). Pointer flip is atomic; retry-idempotent.
         new_pairs = decided.select("image_id", "content_hash")
-        if write_failures:
+        if n_failed:
             # a row the sink could not land is NOT processed: keeping it
             # out of the marker makes the next incremental run re-import
             # it (the retry tier above bounded retries; this is the
-            # next-iteration tier)
-            failed = [f["image_id"] for f in write_failures]
-            new_pairs = new_pairs.where(~F.col("image_id").isin(failed))
+            # next-iteration tier). Anti-join, never isin: wholesale
+            # failure would otherwise inline every id into the plan
+            new_pairs = new_pairs.join(
+                failed_df.select("image_id").distinct(), "image_id", "left_anti"
+            )
         if n_dups:
             new_pairs = new_pairs.unionByName(
                 spark.read.parquet(scan_audit_path).select(
@@ -375,10 +380,13 @@ def run_pipeline(
         # must mean "all rows landed", or the prune would mask the
         # re-import the marker exclusion above arranged.
         manifest_files = scan_set["files"]
-        if write_failures:
+        if n_failed:
+            # distinct source FILES of failed rows — bounded by the file
+            # count (which the driver already holds as the manifest), so
+            # this collect never scales with row-level failure volume
             failed_files = {
-                src_manifest.norm_path(f["source_file"])
-                for f in write_failures
+                src_manifest.norm_path(r["source_file"])
+                for r in failed_df.select("source_file").distinct().collect()
             }
             if None in failed_files:  # unknown provenance: withhold all
                 manifest_files = []
@@ -408,7 +416,6 @@ def run_pipeline(
         # reporting it inside kept would make the manifest disagree
         # with the store (failures are create/update rows by
         # construction: only kept_rows() reach sink.write)
-        n_failed = len(write_failures)
         ck = lineage.commit_phase(
             out,
             rid,

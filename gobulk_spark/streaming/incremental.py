@@ -43,57 +43,56 @@ def _retry_root(out_dir: str) -> str:
     return _join(out_dir, "_retry", "pending")
 
 
-def _stage_retry(spark: SparkSession, out_dir: str, rid: str, rows: DataFrame) -> None:
-    """Stage kept rows a sink permanently failed this epoch for future
-    drains. Idempotent per epoch (overwrite of run=<rid>)."""
+def _stage_retry(
+    spark: SparkSession, out_dir: str, rid: str, seq: int, rows: DataFrame
+) -> None:
+    """Stage kept rows the sink permanently failed this epoch for a
+    future drain, stamped with the staging epoch so a later drain keeps
+    the LATEST version per id. Idempotent per epoch (overwrite of
+    run=<rid>)."""
     from ..lineage import _join
 
-    rows.write.mode("overwrite").parquet(_join(_retry_root(out_dir), f"run={rid}"))
+    rows.withColumn("retry_epoch", F.lit(seq).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(_join(_retry_root(out_dir), f"run={rid}"))
 
 
-def _drain_retry_queue(
-    spark: SparkSession, out_dir: str, sink: KeptSink, rid: str
-) -> DataFrame | None:
-    """Retry previously-failed kept rows once per epoch.
+def _read_retry_queue(
+    spark: SparkSession, out_dir: str, rid: str
+) -> tuple[DataFrame | None, list[str]]:
+    """Pending previously-failed kept rows, LATEST version per id.
 
-    Returns the rows that LANDED this drain (localCheckpointed, so the
-    result outlives the consumed queue dirs), or None if the queue was
-    empty. Rows that fail again are re-staged BEFORE the consumed dirs
-    are deleted — a crash in between re-drains them next epoch, which
-    is safe because the retrying sinks write idempotently by id (the
-    same property their conflict-retry contract already requires)."""
+    Returns (rows, consumed_dir_names); rows is None when the queue is
+    empty. The current epoch's own staging dir (a torn foreachBatch
+    retry may have written it) is excluded — the retried epoch
+    re-derives its own failures. An id staged in two epochs (failed,
+    then re-delivered with new content and failed again) resolves to
+    the highest retry_epoch: retrying an arbitrary version could land
+    stale content and poison the marker with its stale (id, hash)."""
+    from pyspark.sql.window import Window
+
     from ..fsutil import Fs
     from ..lineage import _join
 
     fs = Fs(spark, out_dir)
     root = _retry_root(out_dir)
     if not fs.exists(root):
-        return None
+        return None, []
     dirs = [
         d for d in fs.listdir(root) if d.startswith("run=") and d != f"run={rid}"
     ]
     if not dirs:
-        return None
+        return None, []
+    w = Window.partitionBy("image_id").orderBy(
+        F.col("retry_epoch").desc(), F.col("content_hash").desc()
+    )
     pend = (
         spark.read.parquet(*[_join(root, d) for d in dirs])
-        .dropDuplicates(["image_id"])
-        .persist()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "retry_epoch")
     )
-    fails = sink.write(pend, rid) or []
-    failed_ids = [f["image_id"] for f in fails]
-    landed = (
-        pend.where(~F.col("image_id").isin(failed_ids)) if failed_ids else pend
-    )
-    landed = landed.localCheckpoint(eager=True)
-    if failed_ids:
-        _stage_retry(
-            spark, out_dir, f"{rid}-rq",
-            pend.where(F.col("image_id").isin(failed_ids)),
-        )
-    pend.unpersist()
-    for d in dirs:
-        fs.delete(_join(root, d))
-    return landed
+    return pend, dirs
 
 
 def _process_microbatch(
@@ -179,17 +178,63 @@ def _process_microbatch(
             decided = spark.read.parquet(decided_path)
             staged = True
             executor.execute_deletes(spark, sink, rid, decided)
-    failures = sink.write(executor.kept_rows(decided, KEPT_COLUMNS), rid) or []
     # dead-letter drain: the stream checkpoint has already consumed the
     # source files of previously-failed rows, so — unlike batch, where
     # manifest withholding forces a source re-read — the ONLY in-stream
-    # re-delivery lever is this staged retry queue of kept rows
-    retried = _drain_retry_queue(spark, out, sink, rid)
+    # re-delivery lever is this staged retry queue of kept rows. The
+    # queue joins THIS epoch's SINGLE sink.write: the sink contract is
+    # per-run overwrite, so a second drain write under the same rid
+    # would silently replace the epoch's own freshly-landed rows. A
+    # queued id superseded by a fresh decision this epoch (any action —
+    # newer content arrived) is dropped, as is one already present in
+    # the store (a torn epoch that landed its drain but crashed before
+    # consuming the queue dirs must not land it twice under a second
+    # run scope).
+    pend, consumed = _read_retry_queue(spark, out, rid)
+    if pend is not None:
+        pend = pend.join(
+            decided.select("image_id").distinct(), "image_id", "left_anti"
+        )
+        # fresh existence read (NOT the `existing` frame above: its file
+        # index predates this epoch's delete swaps — a stale listing by
+        # now). Paid only on the failure path (non-empty queue)
+        landed_prior = sink.existing_ids(spark, exclude_run_id=rid)
+        if landed_prior is not None:
+            pend = pend.join(landed_prior, "image_id", "left_anti")
+        # sever lineage from the queue dirs deleted below, and
+        # materialize once for the several consumers (write, audit,
+        # marker, re-stage)
+        pend = pend.localCheckpoint(eager=True)
+    to_write = executor.kept_rows(decided, KEPT_COLUMNS)
+    if pend is not None:
+        to_write = to_write.unionByName(pend.select(*KEPT_COLUMNS))
+    # failures normalized to a DataFrame — all routing below is joins,
+    # never driver-side id lists (a sink failing a whole epoch must not
+    # become an isin() expression bomb); see executor.failures_frame
+    failed = executor.failures_frame(spark, sink.write(to_write, rid))
+    failed_ids = failed.select("image_id").distinct() if failed is not None else None
+    retried = None
+    if pend is not None:
+        retried = (
+            pend.join(failed_ids, "image_id", "left_anti")
+            if failed_ids is not None
+            else pend
+        )
     audit = executor.store_audit_columns(decided, rid)
-    if failures:
+    if failed is not None:
         # per-item sink failures land as audit issues (see pipeline.py)
-        audit = audit.unionByName(
-            executor.write_failure_audit(spark, failures, rid)
+        audit = audit.unionByName(executor.write_failure_audit(failed, rid))
+        # ALL failed rows — fresh and re-failed queued ones — re-stage
+        # under this epoch's run scope, stamped with the epoch for the
+        # latest-version-wins resolution; staged BEFORE the consumed
+        # dirs are deleted, so a crash in between re-drains next epoch
+        # (safe: sink writes are idempotent per run scope)
+        _stage_retry(
+            spark,
+            out,
+            rid,
+            epoch_id,
+            to_write.join(failed_ids, "image_id", "left_semi"),
         )
     if retried is not None:
         # previously-failed rows that landed this epoch: close the loop
@@ -212,19 +257,10 @@ def _process_microbatch(
     # in-batch dups + drained retries); the atomic pointer flip is the
     # epoch's cross-batch dedup commit point, retry-idempotent
     # (predecessor snapshot kept). Items the sink failed to land stay
-    # OUT of the marker and into the retry queue
+    # OUT of the marker and in the retry queue
     new_pairs = decided.select("image_id", "content_hash")
-    if failures:
-        failed_ids = [f["image_id"] for f in failures]
-        new_pairs = new_pairs.where(~F.col("image_id").isin(failed_ids))
-        _stage_retry(
-            spark,
-            out,
-            rid,
-            executor.kept_rows(decided, KEPT_COLUMNS).where(
-                F.col("image_id").isin(failed_ids)
-            ),
-        )
+    if failed_ids is not None:
+        new_pairs = new_pairs.join(failed_ids, "image_id", "left_anti")
     if retried is not None:
         new_pairs = new_pairs.unionByName(
             retried.select("image_id", "content_hash")
@@ -244,6 +280,16 @@ def _process_microbatch(
         new_pairs,
         compact_every=MARKER_COMPACT_EVERY,
     )
+    # queue dirs consumed — deleted only now, after the marker flip
+    # committed the epoch: a crash anywhere above re-drains them (the
+    # store exclusion on pend makes that idempotent)
+    if consumed:
+        from ..fsutil import Fs
+        from ..lineage import _join
+
+        fs = Fs(spark, out)
+        for d in consumed:
+            fs.delete(_join(_retry_root(out), d))
     if persisted:
         _cached.unpersist()
     if staged:

@@ -269,3 +269,131 @@ def test_streaming_retry_queue_redelivers_failed_rows(spark):
     run_streaming_ingest(spark, cfg, src_dir, sink=sink)
     audit3 = lineage.read_audit(spark, out).toPandas()
     assert len(audit3[audit3.action == "retry_landed"]) == len(landed)
+
+
+def test_drain_joins_the_epochs_single_write(spark):
+    """Round-4 high fix: the retry drain must join the epoch's SINGLE
+    sink.write. The old drain issued a second write under the same run
+    scope, whose per-run-overwrite contract silently replaced the
+    healing epoch's own freshly-kept rows — marker already recorded
+    them as processed, so they never re-entered (permanent loss)."""
+    import pyarrow.parquet as pq2
+
+    from gobulk_spark.corpus import generate_pairs
+    from gobulk_spark.streaming.incremental import run_streaming_ingest
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    src_dir = os.path.join(BASE, "clobber_src")
+    out = os.path.join(BASE, "clobber_out")
+    os.makedirs(src_dir)
+    pairs, _ = generate_pairs(120, seed=11)
+    pq2.write_table(pairs.slice(0, 60), os.path.join(src_dir, "part-000.parquet"))
+
+    healthy = {"v": False}
+    victims: set[str] = set()
+
+    def fault(item, attempt):
+        if healthy["v"]:
+            return None
+        if int(item["image_id"].split("-")[-1], 16) % 5 == 0:
+            victims.add(item["image_id"])
+            return "permanent"
+        return None
+
+    sink = UnreliableMemoryKeptSink(fault=fault)
+    cfg = PipelineConfig(source_path=src_dir, out_dir=out, run_id="c1")
+    run_streaming_ingest(spark, cfg, src_dir, sink=sink)
+    assert victims, "fault injection never fired"
+    healthy["v"] = True
+    pq2.write_table(pairs.slice(60, 60), os.path.join(src_dir, "part-001.parquet"))
+    run_streaming_ingest(spark, cfg, src_dir, sink=sink)
+
+    stored = {i for f in sink.runs.values() for i in f["image_id"].tolist()}
+    audit = lineage.read_audit(spark, out).toPandas()
+    # every id ever decided create/update must be in the store after the
+    # heal: epoch 2's OWN rows (the clobber casualties of the old bug)
+    # and the drained epoch-1 victims alike
+    exec_kept = set(audit.loc[audit.action.isin(["create", "update"]), "image_id"])
+    assert exec_kept and victims <= stored
+    assert exec_kept <= stored
+
+
+def test_wholesale_epoch_failure_converges(spark):
+    """Every row of an epoch failing permanently (the worst case for
+    driver-side id lists) must route through the failures FRAME: the
+    whole epoch enters the retry queue and stays out of the marker, and
+    a healed later epoch lands everything with the audit loop closed."""
+    import pyarrow.parquet as pq2
+
+    from gobulk_spark.corpus import generate_pairs
+    from gobulk_spark.streaming.incremental import run_streaming_ingest
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    src_dir = os.path.join(BASE, "whole_src")
+    out = os.path.join(BASE, "whole_out")
+    os.makedirs(src_dir)
+    pairs, _ = generate_pairs(120, seed=12)
+    pq2.write_table(pairs.slice(0, 60), os.path.join(src_dir, "part-000.parquet"))
+
+    healthy = {"v": False}
+
+    def fault(item, attempt):
+        return None if healthy["v"] else "permanent"
+
+    sink = UnreliableMemoryKeptSink(fault=fault)
+    cfg = PipelineConfig(source_path=src_dir, out_dir=out, run_id="w1")
+    run_streaming_ingest(spark, cfg, src_dir, sink=sink)
+
+    def stored_ids():
+        return {i for f in sink.runs.values() for i in f["image_id"].tolist()}
+
+    assert not stored_ids()  # nothing landed
+    audit = lineage.read_audit(spark, out).toPandas()
+    failed = set(audit.loc[audit.issue_type == "output_write", "image_id"])
+    kept_decided = set(
+        audit.loc[audit.action.isin(["create", "update"]), "image_id"]
+    )
+    assert failed == kept_decided and failed  # EVERY kept row failed
+
+    healthy["v"] = True
+    pq2.write_table(pairs.slice(60, 60), os.path.join(src_dir, "part-001.parquet"))
+    run_streaming_ingest(spark, cfg, src_dir, sink=sink)
+    audit2 = lineage.read_audit(spark, out).toPandas()
+    landed = set(audit2.loc[audit2.action == "retry_landed", "image_id"])
+    assert failed == landed  # the whole failed epoch drained and landed
+    assert failed <= stored_ids()
+    # marker covers them: a third no-op epoch re-imports nothing
+    pq2.write_table(pairs.slice(0, 0), os.path.join(src_dir, "part-002.parquet"))
+    run_streaming_ingest(spark, cfg, src_dir, sink=sink)
+    audit3 = lineage.read_audit(spark, out).toPandas()
+    assert len(audit3[audit3.action == "retry_landed"]) == len(landed)
+
+
+def test_retry_queue_keeps_latest_version_per_id(spark):
+    """An id staged in two epochs (failed, then re-delivered with NEW
+    content after a crash left the older staging dir behind) must drain
+    as the latest version — retrying an arbitrary one could land stale
+    content and poison the marker with its stale (id, hash) pair."""
+    from gobulk_spark.pipeline import KEPT_SCHEMA_DDL
+    from gobulk_spark.streaming.incremental import _read_retry_queue, _stage_retry
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    out = os.path.join(BASE, "rq_out")
+    os.makedirs(out)
+    v1 = spark.createDataFrame(
+        [("x", "f", "h1", 8, 8, "png", 1, "cap v1", "en", 0.9, 5.0)],
+        KEPT_SCHEMA_DDL,
+    )
+    v2 = spark.createDataFrame(
+        [("x", "f", "h2", 8, 8, "png", 1, "cap v2", "en", 0.9, 5.0)],
+        KEPT_SCHEMA_DDL,
+    )
+    _stage_retry(spark, out, "e0", 0, v1)
+    _stage_retry(spark, out, "e1", 1, v2)
+    pend, consumed = _read_retry_queue(spark, out, "e2")
+    rows = pend.toPandas()
+    assert len(rows) == 1 and rows["caption"][0] == "cap v2"
+    assert sorted(consumed) == ["run=e0", "run=e1"]
+    # a torn retry of epoch e1 must NOT consume its own staging dir
+    pend1, consumed1 = _read_retry_queue(spark, out, "e1")
+    assert consumed1 == ["run=e0"] and pend1.toPandas()["caption"][0] == "cap v1"

@@ -79,7 +79,7 @@ def test_simhash_oversized_probe_radius_rejected(spark):
     from gobulk_spark.operators.text import simhash_near_dups
 
     sig = spark.createDataFrame([(1, 5), (2, 7)], "doc_id long, simhash long")
-    with pytest.raises(ValueError, match="probe mask"):
+    with pytest.raises(ValueError, match="probe_radius"):
         # b=1 band of 64 bits, C(64,<=16) masks — must refuse loudly,
         # not overflow a LongType literal or enumerate 10^14 masks
         simhash_near_dups(sig, "doc_id", max_hamming=16, probe_radius=16)
@@ -156,3 +156,26 @@ def test_pii_counts_match_actual_replacements():
     assert counts["email"].tolist() == [1, 0]
     assert counts["ipv4"].tolist() == [0, 1]
     assert scrub_captions(caps)[0] == "mail <EMAIL> now"
+
+
+def test_simhash_rejects_probe_radius_at_or_above_max_hamming(spark):
+    """probe_radius >= max_hamming collapses the plan to one 64-bit
+    band whose probe masks include 1<<63 — unrepresentable as a
+    positive LongType literal — and small radii slip under the 100k
+    mask-count guard. Rejected up front (round-4 advice)."""
+    from gobulk_spark.operators.text import simhash_near_dups
+
+    sig = spark.createDataFrame([("a", 1), ("b", 3)], "id string, simhash long")
+    with pytest.raises(ValueError, match="probe_radius"):
+        simhash_near_dups(sig, "id", max_hamming=3, probe_radius=3, n_rows=2)
+    with pytest.raises(ValueError, match="probe_radius"):
+        simhash_near_dups(sig, "id", max_hamming=16, probe_radius=20, n_rows=2)
+
+
+def test_ivf_cells_budget_total_at_exact_duplicate_threshold():
+    """min_cosine=1.0 gives p=1.0 and log(p)=0: must return 1 (plain
+    banding) instead of ZeroDivisionError (round-4 advice)."""
+    from gobulk_spark.operators.similarity import ivf_cells_for_band_budget
+
+    assert ivf_cells_for_band_budget(10**6, 1.0) == 1
+    assert ivf_cells_for_band_budget(10**6, 0.99) >= 1  # near-exact still total
