@@ -101,15 +101,6 @@ def kept_rows(decided: DataFrame, columns: tuple[str, ...]) -> DataFrame:
     )
 
 
-#: schema of a sink's per-item write failures, whichever form the
-#: backend returns them in (list-of-dicts from the driver-side test
-#: doubles; a staged-parquet-backed DataFrame from PartitionedRetrySink)
-FAILURE_SCHEMA_DDL = (
-    "image_id string, source_file string, content_hash string, "
-    "payload string, error_msg string, attempts int"
-)
-
-
 def failures_frame(spark: SparkSession, failures) -> DataFrame | None:
     """Normalize ``sink.write``'s result to a failures DataFrame (or
     None when nothing failed).
@@ -119,6 +110,8 @@ def failures_frame(spark: SparkSession, failures) -> DataFrame | None:
     this frame, never through a driver-side id list: a wholesale epoch
     failure (every row permanent) must not become an ``isin()``
     expression-tree bomb or a driver materialization of row data."""
+    from .sinks import FAILURE_SCHEMA_DDL
+
     if failures is None:
         return None
     if isinstance(failures, DataFrame):

@@ -26,8 +26,12 @@ MemoryKeptSink proves the seam with a second storage-free backend;
 UnreliableMemoryKeptSink is the third — a transactional per-item
 backend with injectable faults exercising the ES retry contract
 (429-backoff x15, conflict-retry x3, delete-404-is-success,
-output/elasticsearch.go:309-320,343-360). The full e2e suite passes
-against all of them (tests/test_sinks.py, tests/test_retry_sink.py).
+output/elasticsearch.go:309-320,343-360). PartitionedRetrySink is the
+fourth and the PRODUCTION shape of that contract: the same retry loop
+run executor-side inside one mapInPandas job, failures staged to
+parquet and read back — row data never crosses the driver. The e2e
+suite passes against all of them (tests/test_sinks.py,
+tests/test_retry_sink.py, tests/test_partitioned_sink.py).
 """
 
 from __future__ import annotations
@@ -44,6 +48,52 @@ from . import lineage
 
 class SinkSchemaMismatch(Exception):
     """The live store's schema deep-diffs against the declared one."""
+
+
+#: schema of a sink's per-item write failures, whichever form the
+#: backend returns them in (list-of-dicts from the driver-side test
+#: doubles; a staged-parquet-backed DataFrame from PartitionedRetrySink)
+FAILURE_SCHEMA_DDL = (
+    "image_id string, source_file string, content_hash string, "
+    "payload string, error_msg string, attempts int"
+)
+
+
+def _put_with_retries(
+    item: dict,
+    fault: Callable[[dict, int], str | None],
+    max_transient: int,
+    max_conflict: int,
+    backoff_s: float,
+    log: Callable[[str, int, str], None] | None = None,
+) -> tuple[bool, str | None, int]:
+    """One item through the full ES-shaped retry budget: 429-shaped
+    transients retry up to ``max_transient`` times with backoff,
+    409-shaped conflicts up to ``max_conflict``, anything else fails
+    immediately (output/elasticsearch.go:309-320,343-360). Returns
+    (landed, error_msg, attempts). Pure function of the fault script —
+    runs identically on the driver (UnreliableMemoryKeptSink) and
+    inside an executor partition (PartitionedRetrySink)."""
+    transient = conflict = 0
+    attempt = 0
+    while True:
+        attempt += 1
+        status = fault(item, attempt)
+        if log is not None:
+            log(item["image_id"], attempt, status or "ok")
+        if status is None:
+            return True, None, attempt
+        if status == "transient":
+            transient += 1
+            if transient > max_transient:
+                return False, "transient failure: retries exhausted", attempt
+            time.sleep(backoff_s)
+        elif status == "conflict":
+            conflict += 1
+            if conflict > max_conflict:
+                return False, "version conflict: retries exhausted", attempt
+        else:  # permanent — no retry, straight to the issue row
+            return False, f"permanent failure: {status}", attempt
 
 
 class KeptSink(Protocol):
@@ -198,10 +248,10 @@ class UnreliableMemoryKeptSink(MemoryKeptSink):
     (400-shaped: no retry) — tests script failure sequences with it.
 
     Scale note: this is deliberately a driver-side test double (like
-    MemoryKeptSink). A production remote sink runs the same loop inside
-    ``df.foreachPartition`` so each executor retries its own chunk; the
-    CONTRACT (bounded retries, per-item failure capture, failures
-    returned to the engine) is what the e2e suite pins here.
+    MemoryKeptSink) — useful because its ``attempt_log`` and driver-side
+    fault closures make retry sequences scriptable and inspectable.
+    PartitionedRetrySink below is the production form: the SAME
+    ``_put_with_retries`` loop run inside each executor partition.
     """
 
     def __init__(
@@ -220,25 +270,14 @@ class UnreliableMemoryKeptSink(MemoryKeptSink):
 
     def _put(self, item: dict) -> tuple[bool, str | None, int]:
         """(landed, error_msg, attempts) after the full retry budget."""
-        transient = conflict = 0
-        attempt = 0
-        while True:
-            attempt += 1
-            status = self.fault(item, attempt)
-            self.attempt_log.append((item["image_id"], attempt, status or "ok"))
-            if status is None:
-                return True, None, attempt
-            if status == "transient":
-                transient += 1
-                if transient > self.max_transient_retries:
-                    return False, "transient failure: retries exhausted", attempt
-                time.sleep(self.backoff_s)
-            elif status == "conflict":
-                conflict += 1
-                if conflict > self.max_conflict_retries:
-                    return False, "version conflict: retries exhausted", attempt
-            else:  # permanent — no retry, straight to the issue row
-                return False, f"permanent failure: {status}", attempt
+        return _put_with_retries(
+            item,
+            self.fault,
+            self.max_transient_retries,
+            self.max_conflict_retries,
+            self.backoff_s,
+            log=lambda i, a, s: self.attempt_log.append((i, a, s)),
+        )
 
     def write(self, df: DataFrame, run_id: str) -> list[dict] | None:
         items = df.toPandas()
@@ -277,3 +316,146 @@ class UnreliableMemoryKeptSink(MemoryKeptSink):
         for r in keys.select("image_id").distinct().collect():
             self.attempt_log.append((r["image_id"], 1, "delete"))
         super().delete(spark, run_id, keys)
+
+
+def _make_partition_writer(
+    kept_run_dir: str,
+    fault: Callable[[dict, int], str | None],
+    max_transient: int,
+    max_conflict: int,
+    backoff_s: float,
+):
+    """Executor-side writer for PartitionedRetrySink.write's single
+    mapInPandas job: run the bounded per-item retry loop over this
+    partition's own rows, land accepted rows as parquet files under the
+    ParquetKeptSink layout, yield ONLY the per-item failures.
+
+    File names are deterministic per (partition, batch, lang): a
+    retried or speculative task overwrites its own output instead of
+    duplicating it (the idempotence a remote bulk API gets from
+    write-by-id)."""
+
+    def write_partition(batches):
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for seq, batch in enumerate(batches):
+            landed_mask: list[bool] = []
+            fails: list[dict] = []
+            for item in batch.to_dict("records"):
+                ok, err, attempts = _put_with_retries(
+                    item, fault, max_transient, max_conflict, backoff_s
+                )
+                landed_mask.append(ok)
+                if not ok:
+                    fails.append(
+                        {
+                            "image_id": item["image_id"],
+                            "source_file": item.get("source_file"),
+                            "content_hash": item.get("content_hash"),
+                            "payload": str(item.get("caption")),
+                            "error_msg": err,
+                            "attempts": attempts,
+                        }
+                    )
+            landed = batch[pd.Series(landed_mask, index=batch.index)]
+            if len(landed):
+                # lang is a PARTITION column of the store layout: encode
+                # it in the directory, never in the file (a column
+                # present in both breaks partition discovery)
+                for lang_val, grp in landed.groupby("lang", dropna=False):
+                    leaf = (
+                        "lang=__HIVE_DEFAULT_PARTITION__"
+                        if pd.isna(lang_val)
+                        else f"lang={lang_val}"
+                    )
+                    d = _os.path.join(kept_run_dir, leaf)
+                    _os.makedirs(d, exist_ok=True)
+                    _pq.write_table(
+                        _pa.Table.from_pandas(
+                            grp.drop(columns=["lang"]), preserve_index=False
+                        ),
+                        _os.path.join(d, f"part-{pid:05d}-{seq:04d}.parquet"),
+                    )
+            if fails:
+                f = pd.DataFrame(fails)
+                f["attempts"] = f["attempts"].astype("int32")
+                yield f
+
+    return write_partition
+
+
+class PartitionedRetrySink(ParquetKeptSink):
+    """Production-shaped remote-store sink: the ES retry contract run
+    EXECUTOR-SIDE, each partition retrying its own chunk.
+
+    gobulk's Elasticsearch output retries bulk chunks where the data
+    is (output/elasticsearch.go:231-320,343-360); the driver-side
+    UnreliableMemoryKeptSink proves that contract as a test double and
+    documents this class as its production shape. ``write`` is ONE
+    Spark job: ``df.mapInPandas`` runs the bounded retry loop
+    (transient x``max_transient_retries`` + backoff, conflict
+    x``max_conflict_retries``, permanent -> fail) inside each
+    partition, lands accepted rows as parquet files under the inherited
+    ParquetKeptSink layout (run=<rid>/lang=<l>), and yields only the
+    per-item failures, which are staged to ``_sink_failures/run=<rid>``
+    and read back as the failures DataFrame the engine joins against.
+    Row data never round-trips through the driver (pinned by
+    tests/test_partitioned_sink.py poisoning collect/toPandas).
+
+    validate/recover/existing_ids/delete/read are inherited — the
+    storage is the same kept store; only the write path differs.
+
+    Scale notes: kept files are written with pyarrow against a
+    filesystem path (local in this sandbox; a real deployment points
+    ``out_dir`` at a fuse/NFS mount or swaps the two ``_pq.write_table``
+    calls for a pyarrow.fs S3/HDFS handle — the job shape is
+    unchanged). The failures staging keeps wholesale failure off the
+    driver: an epoch where every row fails yields a large failures
+    frame that lives entirely in parquet."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        fault: Callable[[dict, int], str | None] | None = None,
+        max_transient_retries: int = 15,
+        max_conflict_retries: int = 3,
+        backoff_s: float = 0.0,
+    ):
+        super().__init__(out_dir)
+        self.fault = fault or (lambda item, attempt: None)
+        self.max_transient_retries = max_transient_retries
+        self.max_conflict_retries = max_conflict_retries
+        self.backoff_s = backoff_s
+
+    def _failures_dir(self, run_id: str) -> str:
+        return lineage._join(self.out_dir, "_sink_failures", f"run={run_id}")
+
+    def write(self, df: DataFrame, run_id: str):
+        spark = df.sparkSession
+        kept_run_dir = f"{lineage.kept_dir(self.out_dir)}/run={run_id}"
+        # per-run overwrite contract: a retried write replaces its own
+        # earlier (possibly torn) attempt before re-landing
+        from .fsutil import Fs
+
+        Fs(spark, self.out_dir).delete(kept_run_dir)
+        writer = _make_partition_writer(
+            kept_run_dir,
+            self.fault,
+            self.max_transient_retries,
+            self.max_conflict_retries,
+            self.backoff_s,
+        )
+        failures = df.mapInPandas(writer, schema=FAILURE_SCHEMA_DDL)
+        fail_dir = self._failures_dir(run_id)
+        # the ONE action: kept rows land as the job's side output,
+        # failures as its result set — staged, never driver-collected
+        failures.write.mode("overwrite").parquet(fail_dir)
+        fdf = spark.read.schema(FAILURE_SCHEMA_DDL).parquet(fail_dir)
+        if fdf.isEmpty():
+            return None
+        return fdf
