@@ -389,7 +389,25 @@ def main() -> None:
     l2, l8, l32 = legs["local[2]"], legs["local[8]"], legs["local[32]"]
     ok = all("compute_wall_s_min" in l for l in (l2, l8, l32))
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    result = {
+    scaling = (
+        {
+            "compute_n2_to_n8": _eff(
+                l2["compute_wall_s_min"], l8["compute_wall_s_min"]
+            ),
+            "compute_n8_to_n32": _eff(
+                l8["compute_wall_s_min"], l32["compute_wall_s_min"]
+            ),
+            "end_to_end_n2_to_n8": _eff(
+                l2["end_to_end_wall_s"], l8["end_to_end_wall_s"]
+            ),
+            "end_to_end_n8_to_n32": _eff(
+                l8["end_to_end_wall_s"], l32["end_to_end_wall_s"]
+            ),
+        }
+        if ok
+        else {"error": "a scaling leg failed; see legs"}
+    )
+    full = {
         "metric": "total_headline_query_sec",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
@@ -401,25 +419,45 @@ def main() -> None:
             "source_read_s_before_warm": first_read_s,
             "legs": legs,
             "incremental": incremental,
-            "scaling": {
-                "compute_n2_to_n8": _eff(
-                    l2["compute_wall_s_min"], l8["compute_wall_s_min"]
-                ),
-                "compute_n8_to_n32": _eff(
-                    l8["compute_wall_s_min"], l32["compute_wall_s_min"]
-                ),
-                "end_to_end_n2_to_n8": _eff(
-                    l2["end_to_end_wall_s"], l8["end_to_end_wall_s"]
-                ),
-                "end_to_end_n8_to_n32": _eff(
-                    l8["end_to_end_wall_s"], l32["end_to_end_wall_s"]
-                ),
-            }
-            if ok
-            else {"error": "a scaling leg failed; see legs"},
+            "scaling": scaling,
         },
     }
-    print(json.dumps(result))
+    # full detail to a repo file (the judge reads it there) ...
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    # ... and a COMPACT single line as the very last stdout output: the
+    # grading driver records only the tail of stdout (2000 chars in
+    # round 3 — the full JSON was ~2.9k and lost its head, leaving
+    # BENCH_r03.json unparseable), so the line that must parse is kept
+    # small and printed last, after every Spark JVM has exited
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in queries.items()},
+        "sf": full["sf"],
+        "pipeline": {
+            "rows": l32.get("rows"),
+            "legs": {
+                m: {
+                    "compute_s": leg.get("compute_wall_s_min"),
+                    "e2e_s": leg.get("end_to_end_wall_s"),
+                }
+                for m, leg in legs.items()
+            },
+            "incremental_scan_bytes_fraction": incremental.get(
+                "scan_bytes_fraction"
+            ),
+            "scaling": scaling,
+        },
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # belt-and-braces: never exceed the tail window
+        compact["pipeline"] = {"scaling": scaling, "see": "BENCH_FULL.json"}
+        line = json.dumps(compact, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -35,7 +35,9 @@ from . import lineage  # noqa: F401  (audit projection below)
 EXECUTION_ORDER = ("delete", "update", "create", "omit")
 
 
-def dedup_exact_redeliveries(decided: DataFrame) -> DataFrame:
+def dedup_exact_redeliveries(
+    decided: DataFrame, probe: tuple[int, int] | None = None
+) -> DataFrame:
     """Drop extra copies when the SAME (image_id, content_hash) appears
     more than once in one batch — invisible to scan-phase dedup (both
     rows ARE the min-id survivor) and it would land twice in the kept
@@ -48,13 +50,40 @@ def dedup_exact_redeliveries(decided: DataFrame) -> DataFrame:
     collapse the salted partition spread on small batches (AQE
     coalesces it) and re-partition every downstream write for a
     condition that is almost always absent. Equal content_hash means
-    identical content, so dropping either copy is lossless."""
-    n_rows, n_keys = decided.select(
-        F.count(F.lit(1)), F.count_distinct("image_id", "content_hash")
-    ).first()
+    identical content, so dropping either copy is lossless.
+
+    ``probe``: pass a precomputed (n_rows, n_distinct_keys) pair to
+    skip the aggregate job here — callers that need other scalars from
+    the same frame (the update/delete-presence probe) fold all of them
+    into ONE probe_decided() job instead of one job each."""
+    if probe is not None:
+        n_rows, n_keys = probe
+    else:
+        n_rows, n_keys = decided.select(
+            F.count(F.lit(1)), F.count_distinct("image_id", "content_hash")
+        ).first()
     if n_rows == n_keys:
         return decided
     return decided.dropDuplicates(["image_id", "content_hash"])
+
+
+def probe_decided(decided: DataFrame) -> tuple[int, int, int]:
+    """One aggregate job answering every pre-store scalar probe:
+    (n_rows, n_distinct (id, hash) keys, n update/delete rows).
+
+    The first action over the freshly-persisted decided frame pays the
+    full parse compute to populate the cache; folding the re-delivery
+    probe and the affected-rows probe into that same job keeps the
+    fixed per-epoch job count down (the round-3 streaming profile:
+    ~6 fixed jobs made a 7 s epoch floor at 5k rows). n_affected is
+    probed PRE-dedup: dropping an exact duplicate copy never changes
+    whether any update/delete row exists."""
+    n_rows, n_keys, n_affected = decided.select(
+        F.count(F.lit(1)),
+        F.count_distinct("image_id", "content_hash"),
+        F.sum(F.col("action").isin("update", "delete").cast("long")),
+    ).first()
+    return n_rows, n_keys, int(n_affected or 0)
 
 
 def classify_actions(decided: DataFrame, existing_ids: DataFrame | None) -> DataFrame:

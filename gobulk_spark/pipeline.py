@@ -258,11 +258,16 @@ def run_pipeline(
         existing = sink.existing_ids(spark, exclude_run_id=rid)
         decided = executor.classify_actions(decided, existing)
         persisted = staged = False
+        probe3 = None
         if existing is not None:
             # several consumers below (affected probe, writes, metrics);
             # cache so the classify join + parse chain runs once
             decided = decided.persist()
             persisted = True
+            # ONE probe job (populating the cache) answers the
+            # update/delete-presence check AND the re-delivery check
+            # below — was two separate jobs
+            probe3 = executor.probe_decided(decided)
             # MATERIALIZE (not just persist) before the delete step —
             # but ONLY when deletes will actually run: decided's lineage
             # includes the classify join over kept files the deletes
@@ -271,10 +276,7 @@ def run_pipeline(
             # mid-write on a real cluster). With no update/delete rows
             # nothing swaps, so the staging write (a full extra pass,
             # the round-2 fixed-cost profile top) is skipped.
-            has_affected = not decided.where(
-                F.col("action").isin("update", "delete")
-            ).isEmpty()
-            if has_affected:
+            if probe3[2]:
                 decided_path = lineage.stage_dir(out, rid, "decided")
                 decided.write.mode("overwrite").parquet(decided_path)
                 decided.unpersist()
@@ -289,7 +291,9 @@ def run_pipeline(
         # cache / staged parquet, never a fresh parse execution. Keep
         # the persisted parent: unpersist on a derived frame is a no-op
         _cached = decided
-        decided = executor.dedup_exact_redeliveries(decided)
+        decided = executor.dedup_exact_redeliveries(
+            decided, probe=probe3[:2] if probe3 else None
+        )
         if cfg.stop_on_error:
             n_issue = decided.where(F.col("action") == "issue").count()
             if n_issue:

@@ -103,6 +103,15 @@ def _process_microbatch(
     rid = f"{cfg.run_id}-e{epoch_id}"
     out = cfg.out_dir
     sink = sink if sink is not None else ParquetKeptSink(out)
+    # dead-letter queue peek (driver-side listdir, lazy read) doubles as
+    # the no-op gate: a sweep whose discovered files hold ZERO rows and
+    # whose retry queue is empty has nothing to scan, parse, store or
+    # mark — short-circuit the ~20 fixed jobs (a poll-forever stream
+    # hits this shape on every empty trigger file). A non-empty queue
+    # still processes: an empty sweep is a valid heal trigger.
+    pend, consumed = _read_retry_queue(spark, out, rid)
+    if not consumed and batch.isEmpty():
+        return
     # input_file_name() returns '' (not NULL) inside foreachBatch, so a
     # plain coalesce never falls back — nullif first
     src = src_scan.with_content_hash(
@@ -159,18 +168,22 @@ def _process_microbatch(
     # re-ran the whole decode+model parse stage once per action
     decided = decided.persist()
     persisted, staged = True, False
-    # after the persist so the re-delivery probe populates (not
-    # bypasses) the cache; keep the persisted parent for unpersist
-    # (a derived frame's unpersist is a no-op) — see pipeline.py
+    # after the persist so the probe populates (not bypasses) the
+    # cache; keep the persisted parent for unpersist (a derived frame's
+    # unpersist is a no-op) — see pipeline.py
     _cached = decided
-    decided = executor.dedup_exact_redeliveries(decided)
+    # ONE probe job answers the re-delivery check AND the
+    # update/delete-presence check (was two jobs against the ~6-job
+    # fixed epoch floor)
+    _n_rows, _n_keys, n_affected = executor.probe_decided(decided)
+    decided = executor.dedup_exact_redeliveries(decided, probe=(_n_rows, _n_keys))
     if existing is not None:
         # materialize before deletes mutate the files decided's lineage
         # reads (see pipeline.py store phase) — but only when deletes
         # WILL run: on a mostly-append stream the per-epoch staging
         # write dominated the epoch cost (round-2 profile), and with an
         # empty affected set nothing swaps, so the persist suffices
-        if not decided.where(F.col("action").isin("update", "delete")).isEmpty():
+        if n_affected:
             decided_path = lineage.stage_dir(out, rid, "decided")
             decided.write.mode("overwrite").parquet(decided_path)
             _cached.unpersist()  # the persisted parent, not the view
@@ -189,8 +202,8 @@ def _process_microbatch(
     # newer content arrived) is dropped, as is one already present in
     # the store (a torn epoch that landed its drain but crashed before
     # consuming the queue dirs must not land it twice under a second
-    # run scope).
-    pend, consumed = _read_retry_queue(spark, out, rid)
+    # run scope). The queue itself was read at the top of the epoch
+    # (it doubles as the no-op gate).
     if pend is not None:
         pend = pend.join(
             decided.select("image_id").distinct(), "image_id", "left_anti"
@@ -220,7 +233,19 @@ def _process_microbatch(
             if failed_ids is not None
             else pend
         )
-    audit = executor.store_audit_columns(decided, rid)
+    # epoch totals ride the store-audit write as an observation
+    # (attached BEFORE the failure/retry unions so the counts cover
+    # exactly the decided rows) — the per-partition metrics groupBy
+    # job this replaces was one of the fixed ~6 jobs bounding the
+    # round-3 epoch floor at 7 s
+    obs_store = Observation(f"stream-store-{rid}")
+    audit = executor.store_audit_columns(decided, rid).observe(
+        obs_store,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.col("action").isin("create", "update").cast("long")).alias("kept"),
+        F.sum(F.col("action").isin("omit", "delete").cast("long")).alias("dropped"),
+        F.sum((F.col("action") == "issue").cast("long")).alias("issues"),
+    )
     if failed is not None:
         # per-item sink failures land as audit issues (see pipeline.py)
         audit = audit.unionByName(executor.write_failure_audit(failed, rid))
@@ -252,7 +277,31 @@ def _process_microbatch(
             )
         )
     lineage.write_audit(audit, out, "store", rid)
-    lineage.write_metrics(lineage.partition_metrics(decided, rid), out, "store", rid)
+    # the observed totals land as ONE metrics row (partition_id=-1
+    # marks an epoch-totals row vs batch's per-partition rows; same
+    # schema, so read_metrics unions both). A 1-row local-relation
+    # write costs milliseconds where the old groupBy re-aggregated the
+    # cached decided frame with a shuffle every epoch
+    st = obs_store.get
+    lineage.write_metrics(
+        spark.createDataFrame(
+            [
+                (
+                    -1,
+                    st["rows_in"],
+                    int(st["kept"] or 0),
+                    int(st["dropped"] or 0),
+                    int(st["issues"] or 0),
+                    rid,
+                )
+            ],
+            "partition_id int, rows_in long, rows_kept long, "
+            "rows_dropped long, rows_issued long, run_id string",
+        ),
+        out,
+        "store",
+        rid,
+    )
     # advance the compacted marker with this epoch's pairs (decided +
     # in-batch dups + drained retries); the atomic pointer flip is the
     # epoch's cross-batch dedup commit point, retry-idempotent
