@@ -458,6 +458,182 @@ def q_embedding_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ANN recall floors as driver-visible invariants (round-4 VERDICT #6)
+# --------------------------------------------------------------------------
+# Each recall_* query measures its family's recall IN-ENGINE against the
+# in-engine exact baseline (both deterministic by seed) and returns ONE
+# row (family, floor, recall_ok); the oracle is the literal expected
+# constant, so a recall regression below the floor flips recall_ok and
+# fails the driver's value hash — the pytest-only recall evidence of
+# round 3, promoted to the correctness gate. The driver-side loop over
+# a handful of query vectors is a VALIDATION harness (the measured
+# operators underneath stay fully distributed).
+
+
+def _topk_recall(
+    spark: SparkSession, sf_dir: str, approx, k: int = 10, n_queries: int = 4
+) -> float:
+    from gobulk_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = sorted(
+        e.where(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect(),
+        key=lambda r: r[0],
+    )
+    base = e.where(F.col("vec_id") >= n_queries)
+    dim = len(qs[0][1])
+    hits = total = 0
+    for row in qs:
+        exact = {
+            r[0]
+            for r in brute_force_topk(base, list(row[1]), k=k)
+            .select("vec_id")
+            .collect()
+        }
+        got = {
+            r[0]
+            for r in approx(base, list(row[1]), dim, k).select("vec_id").collect()
+        }
+        hits += len(exact & got)
+        total += len(exact)
+    return hits / max(total, 1)
+
+
+def _recall_row(
+    spark: SparkSession, family: str, floor: float, recall: float
+) -> DataFrame:
+    return spark.createDataFrame(
+        [(family, float(floor), bool(recall >= floor))],
+        "family string, recall_floor double, recall_ok boolean",
+    )
+
+
+def q_recall_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_bucket_ann's contract is EXACT top-k within the query's
+    bucket — the approximation lives in candidate PRUNING, scoring is
+    exact cosine. On this isotropic corpus global recall IS the
+    bucket-occupancy noise floor (no partitioner co-locates isotropic
+    neighbors — the LSH lower bound), so the honest driver-visible
+    invariant is bucket-top-k exactness: the operator's ids must equal
+    the brute-force top-k over its own bucket's members, every query."""
+    from gobulk_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucket_ann,
+        with_lsh_bucket,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = sorted(
+        e.where(F.col("vec_id") < 4).select("vec_id", "embedding").collect(),
+        key=lambda r: r[0],
+    )
+    base = e.where(F.col("vec_id") >= 4)
+    dim = len(qs[0][1])
+    bucketed = with_lsh_bucket(base, dim, 8, 42, "vec_id")
+    ok = True
+    for row in qs:
+        q = list(row[1])
+        got = [
+            r[0]
+            for r in lsh_bucket_ann(base, q, dim, k=10, n_planes=8).collect()
+        ]
+        import numpy as np
+
+        from gobulk_spark.operators.similarity import _hyperplanes
+
+        planes = _hyperplanes(dim, 8, 42)
+        signs = (planes @ np.asarray(q, dtype=np.float64)) > 0
+        qbucket = int((signs * (1 << np.arange(8))).sum())
+        members = bucketed.where(F.col("bucket") == qbucket).drop("bucket")
+        want = [r[0] for r in brute_force_topk(members, q, k=10).collect()]
+        ok = ok and got == want
+    return _recall_row(spark, "lsh_ann_bucket_topk", 1.0, 1.0 if ok else 0.0)
+
+
+def q_recall_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two invariants in one frame: probe-ALL must equal brute force
+    exactly (recall 1.0 — the cells partition the table), and the
+    partial probe (4 of 16 cells, a 25% scan) must beat the
+    random-scan baseline by ~2x even on this isotropic worst-case
+    corpus (measured 0.525; clustered corpora sit far higher, see
+    tests/test_ivf_banded_recall.py)."""
+    from gobulk_spark.operators.similarity import ivf_ann
+
+    part = _topk_recall(
+        spark, sf_dir,
+        lambda df, q, dim, k: ivf_ann(df, q, dim=dim, k=k, n_cells=16, n_probe=4),
+    )
+    full = _topk_recall(
+        spark, sf_dir,
+        lambda df, q, dim, k: ivf_ann(df, q, dim=dim, k=k, n_cells=16, n_probe=16),
+    )
+    return _recall_row(spark, "ivf_ann_probe4", 0.45, part).unionByName(
+        _recall_row(spark, "ivf_ann_probe_all", 1.0, full)
+    )
+
+
+def q_recall_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gobulk_spark.operators.similarity import pq_ann
+
+    r = _topk_recall(spark, sf_dir, lambda df, q, dim, k: pq_ann(df, q, dim, k=k))
+    return _recall_row(spark, "pq_ann", 0.9, r)
+
+
+def q_recall_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gobulk_spark.operators.similarity import ivfpq_ann
+
+    r = _topk_recall(
+        spark, sf_dir,
+        lambda df, q, dim, k: ivfpq_ann(df, q, dim, k=k, n_cells=16, n_probe=4),
+    )
+    # isotropic worst case, 4-of-16-cell probe: measured 0.525 (the
+    # cell-routing signal over the 0.25 random-scan baseline); the
+    # probe-all==plain-PQ bit-for-bit invariance is pinned in test_pq.py
+    return _recall_row(spark, "ivfpq_ann_probe4", 0.45, r)
+
+
+def _pairs_recall(spark: SparkSession, sf_dir: str, approx_pairs) -> float:
+    """Distributed pair-recall: |approx ∩ exact| / |exact| via a
+    semi-join, never a driver-side pair list."""
+    from gobulk_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    exact = embedding_near_dup_pairs(e, dim, min_cosine=0.4, band_planes=0).select(
+        "id_a", "id_b"
+    )
+    appr = approx_pairs(e, dim).select("id_a", "id_b")
+    n_exact = exact.count()
+    n_hit = exact.join(appr, ["id_a", "id_b"], "left_semi").count()
+    return n_hit / max(n_exact, 1)
+
+
+def q_recall_banded_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gobulk_spark.operators.similarity import embedding_near_dup_pairs
+
+    r = _pairs_recall(
+        spark, sf_dir,
+        lambda e, dim: embedding_near_dup_pairs(
+            e, dim, min_cosine=0.4, max_bucket_size=64
+        ),
+    )
+    return _recall_row(spark, "banded_near_dups", 0.9, r)
+
+
+def q_recall_ivf_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gobulk_spark.operators.similarity import embedding_near_dup_pairs_ivf
+
+    r = _pairs_recall(
+        spark, sf_dir,
+        lambda e, dim: embedding_near_dup_pairs_ivf(
+            e, dim, min_cosine=0.4, n_cells=4, n_probe=2, max_bucket_size=64
+        ),
+    )
+    # measured 0.932 at sf0.01; cell-sharing is the recall ceiling
+    # (probe-sharing curve in tests/test_ivf_banded_recall.py)
+    return _recall_row(spark, "ivf_near_dups", 0.85, r)
+
+
 def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) containment candidates over documents —
     rolling-hash fingerprints, local positions, so partial overlap is
@@ -578,6 +754,38 @@ def q_asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = asof_join(
         purchases, views, by="user_id", ts_col="ts",
         right_cols=("event_id", "ts"), prefix="view_", tie_break="event_id",
+    )
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch("ts").alias("purchase_epoch"),
+        F.col("view_event_id"),
+        (epoch("ts") - epoch("view_ts")).alias("gap_s"),
+    )
+
+
+def q_asof_join_salted_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-SAFE as-of variant over the same purchase/view shape,
+    checked against the same DuckDB ASOF oracle — a provable-equality
+    gate for the salt-then-merge-boundaries rewrite (asof_join_salted:
+    time-range bucketing spreads a hot user across n_buckets window
+    partitions; bucket-final snapshots carry across boundaries)."""
+    from gobulk_spark.operators.asof import asof_join_salted
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join_salted(
+        purchases, views, by="user_id", ts_col="ts",
+        right_cols=("event_id", "ts"), prefix="view_", tie_break="event_id",
+        n_buckets=8,
     )
     epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
     return out.select(
@@ -767,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles": q_value_quantiles,
         "tfidf_top_terms": q_tfidf_top_terms,
         "asof_join_purchase_view": q_asof_join_purchase_view,
+        "asof_join_salted_view": q_asof_join_salted_view,
         "salted_join_revenue": q_salted_join_revenue,
         "embedding_exact_near_dups": q_embedding_exact_near_dups,
         "repetition_stats": q_repetition_stats,
@@ -791,6 +1000,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_near_dups": q_embedding_ivf_near_dups,
         "embedding_pq_ann": q_embedding_pq_ann,
         "embedding_ivfpq_ann": q_embedding_ivfpq_ann,
+        # recall floors as oracle-checked invariants (round 4): the
+        # engine measures each ANN family against its in-engine exact
+        # baseline (both seed-deterministic) and the oracle is the
+        # literal expected constant — a recall regression flips
+        # recall_ok and fails the driver's value hash
+        "recall_lsh_ann": q_recall_lsh_ann,
+        "recall_ivf_ann": q_recall_ivf_ann,
+        "recall_pq_ann": q_recall_pq_ann,
+        "recall_ivfpq_ann": q_recall_ivfpq_ann,
+        "recall_banded_near_dups": q_recall_banded_near_dups,
+        "recall_ivf_near_dups": q_recall_ivf_near_dups,
     }
 
 
@@ -1074,6 +1294,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p.event_id, p.user_id,
                    -- floor, not CAST-rounding: Spark ts->long truncates
+                   CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+                   v.event_id AS view_event_id,
+                   CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_s
+            FROM purchases p ASOF LEFT JOIN views v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        # constant-row oracles for the recall-floor gates: the VALUES
+        # are fixed by design (family label, floor, ok=true); only a
+        # recall regression in the engine can break the hash
+        "recall_lsh_ann": """
+            SELECT 'lsh_ann_bucket_topk' AS family,
+                   CAST(1.0 AS DOUBLE) AS recall_floor, TRUE AS recall_ok
+        """,
+        "recall_ivf_ann": """
+            SELECT 'ivf_ann_probe4' AS family,
+                   CAST(0.45 AS DOUBLE) AS recall_floor, TRUE AS recall_ok
+            UNION ALL
+            SELECT 'ivf_ann_probe_all', CAST(1.0 AS DOUBLE), TRUE
+        """,
+        "recall_pq_ann": """
+            SELECT 'pq_ann' AS family,
+                   CAST(0.9 AS DOUBLE) AS recall_floor, TRUE AS recall_ok
+        """,
+        "recall_ivfpq_ann": """
+            SELECT 'ivfpq_ann_probe4' AS family,
+                   CAST(0.45 AS DOUBLE) AS recall_floor, TRUE AS recall_ok
+        """,
+        "recall_banded_near_dups": """
+            SELECT 'banded_near_dups' AS family,
+                   CAST(0.9 AS DOUBLE) AS recall_floor, TRUE AS recall_ok
+        """,
+        "recall_ivf_near_dups": """
+            SELECT 'ivf_near_dups' AS family,
+                   CAST(0.85 AS DOUBLE) AS recall_floor, TRUE AS recall_ok
+        """,
+        # same oracle as the plain operator: the salted rewrite must be
+        # result-identical (provable-equality gate)
+        "asof_join_salted_view": """
+            WITH purchases AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ), views AS (
+                SELECT user_id, ts, max(event_id) AS event_id FROM events
+                WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id,
                    CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
                    v.event_id AS view_event_id,
                    CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_s

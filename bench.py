@@ -56,6 +56,8 @@ HEADLINE = (
     "marker_anti_join",
     # round-2 operators
     "asof_join_purchase_view",
+    # round-4: skew-safe as-of (same oracle as the plain operator)
+    "asof_join_salted_view",
     "tfidf_top_terms",
     "salted_join_revenue",
     "winnow_overlap_pairs",

@@ -25,26 +25,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def asof_join(
+def _tagged_union(
     left: DataFrame,
     right: DataFrame,
     by: str,
     ts_col: str,
     right_cols: tuple[str, ...],
-    prefix: str = "asof_",
-    tie_break: str | None = None,
-) -> DataFrame:
-    """Left as-of-backward join: all left columns + ``prefix``-named
-    snapshots of ``right_cols`` from the latest right row at-or-before
-    each left row's ``ts_col`` (null when no right row precedes).
-
-    ``by`` is the equality key (shuffle key); both frames must carry
-    ``by`` and ``ts_col``. Right rows that tie a left row's timestamp
-    DO match, mirroring DuckDB ASOF's >= semantics. When several RIGHT
-    rows share (by, ts), pass ``tie_break`` (a right_cols member) to
-    make the winner deterministic (highest value wins); otherwise
-    pre-dedupe the right side.
-    """
+    tie_break: str | None,
+):
+    """Tag both sides, union them, and build the carry-forward sort
+    order. Returns (union, left_columns, order_exprs)."""
     lcols = left.columns
     ltypes = {f.name: f.dataType for f in left.schema.fields}
     # ONE struct column carries the whole right row: carrying each
@@ -76,6 +66,30 @@ def asof_join(
         # nulls FIRST so a null tie-break row loses: last() then picks
         # the highest non-null value, as documented
         order.append(F.col("_r").getField(tie_break).asc_nulls_first())
+    return u, lcols, order
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str,
+    right_cols: tuple[str, ...],
+    prefix: str = "asof_",
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Left as-of-backward join: all left columns + ``prefix``-named
+    snapshots of ``right_cols`` from the latest right row at-or-before
+    each left row's ``ts_col`` (null when no right row precedes).
+
+    ``by`` is the equality key (shuffle key); both frames must carry
+    ``by`` and ``ts_col``. Right rows that tie a left row's timestamp
+    DO match, mirroring DuckDB ASOF's >= semantics. When several RIGHT
+    rows share (by, ts), pass ``tie_break`` (a right_cols member) to
+    make the winner deterministic (highest value wins); otherwise
+    pre-dedupe the right side.
+    """
+    u, lcols, order = _tagged_union(left, right, by, ts_col, right_cols, tie_break)
     w = (
         Window.partitionBy(by)
         .orderBy(*order)
@@ -89,4 +103,111 @@ def asof_join(
     return carried.where(F.col("_side") == 1).select(
         *lcols,
         *[F.col("_snap").getField(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str,
+    right_cols: tuple[str, ...],
+    prefix: str = "asof_",
+    tie_break: str | None = None,
+    n_buckets: int = 16,
+    rel_err: float = 1e-3,
+) -> DataFrame:
+    """Skew-safe as-of join: identical results to :func:`asof_join`,
+    with every key's timeline SPLIT across ``n_buckets`` time-range
+    partitions instead of landing whole in one window partition.
+
+    Why: the plain operator shuffles on ``by`` alone, so one hot key
+    (one user producing half the events) is one straggler task at
+    scale — the same failure mode salted_join defeats for equi-joins.
+    Salting a carry-forward window needs care that hash salting does
+    not: rows early in a fragment depend on the LAST right row of every
+    earlier fragment. The classic salt-then-merge-boundaries shape:
+
+    1. cut the (global) time axis into ``n_buckets`` ranges at
+       approx-quantile boundaries (one cheap sketch job; bucket
+       assignment is a deterministic CASE over ts, so retries agree);
+    2. ONE window pass per (key, bucket) — the skewed key now spreads
+       over up to ``n_buckets`` tasks — computing both the
+       within-bucket carry and the bucket-final right snapshot;
+    3. per-key bucket summaries (≤ n_keys × n_buckets rows, tiny)
+       carry the boundary snapshot forward across buckets with a
+       second window over the SUMMARIES — skew-free by construction;
+    4. join the carry-in back on (key, bucket) and coalesce the whole
+       snapshot STRUCT (atomicity: never stitch fields from two rows).
+
+    Equal timestamps keep the >= tie semantics: bucket assignment is a
+    function of ts alone, so tied rows share a bucket and the _side
+    ordering decides inside the window, exactly as in the plain
+    operator. The provable-equality oracle: the driver runs this
+    operator against the same DuckDB ASOF JOIN oracle as the plain one
+    (query ``asof_join_salted_view``), and the skew test pins plan
+    spread + result equality at one-key-owns-half-the-rows skew.
+    """
+    if n_buckets <= 1:
+        return asof_join(left, right, by, ts_col, right_cols, prefix, tie_break)
+    u, lcols, order = _tagged_union(left, right, by, ts_col, right_cols, tie_break)
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if isinstance(u.schema[ts_col].dataType, (TimestampType, TimestampNTZType)):
+        # TIMESTAMP_NTZ has no direct double cast in Spark 4.x — route
+        # through timestamp (epoch seconds); bucket assignment only
+        # needs a monotone map of ts, so the unit is irrelevant
+        ts_d = F.col(ts_col).cast("timestamp").cast("double")
+    else:
+        ts_d = F.col(ts_col).cast("double")
+    cuts = sorted(
+        set(
+            u.select(ts_d.alias("_t")).approxQuantile(
+                "_t", [i / n_buckets for i in range(1, n_buckets)], rel_err
+            )
+        )
+    )
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (ts_d > F.lit(c)).cast("int")
+    u = u.withColumn("_bkt", bucket)
+    w_in = (
+        Window.partitionBy(by, "_bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # same partitioning and order as w_in -> Catalyst reuses one
+    # exchange + sort for both window functions
+    w_all = (
+        Window.partitionBy(by, "_bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        *lcols,
+        F.col("_side"),
+        F.col("_bkt"),
+        F.last("_r", ignorenulls=True).over(w_in).alias("_snap"),
+        F.last("_r", ignorenulls=True).over(w_all).alias("_bfinal"),
+    )
+    # one row per (key, bucket): every row in the group carries the
+    # same _bfinal, so any_value is exact
+    summaries = carried.groupBy(by, "_bkt").agg(
+        F.any_value("_bfinal").alias("_bfinal")
+    )
+    w_carry = (
+        Window.partitionBy(by)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = summaries.select(
+        by,
+        "_bkt",
+        F.last("_bfinal", ignorenulls=True).over(w_carry).alias("_carry"),
+    )
+    joined = carried.join(carry_in, [by, "_bkt"], "left")
+    snap = F.coalesce(F.col("_snap"), F.col("_carry"))
+    return joined.where(F.col("_side") == 1).select(
+        *lcols,
+        *[snap.getField(c).alias(f"{prefix}{c}") for c in right_cols],
     )

@@ -350,3 +350,74 @@ def test_asof_tie_break_null_loses(spark):
         left, right, by="k", ts_col="t", right_cols=("eid",), tie_break="eid"
     ).collect()[0]
     assert out["asof_eid"] == 7
+
+
+def test_asof_join_salted_equals_plain_under_skew(spark):
+    """Round-4 skew variant: one key owns 50% of the rows. The salted
+    operator must return EXACTLY the plain operator's rows while its
+    plan spreads the hot key across (key, bucket) partitions."""
+    import numpy as np
+
+    from gobulk_spark.operators.asof import asof_join, asof_join_salted
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    # hot key owns half of both sides; 20 cold keys share the rest
+    keys = ["hot" if i % 2 == 0 else f"k{i % 20}" for i in range(n)]
+    lts = rng.integers(0, 100_000, n).tolist()
+    rts = rng.integers(0, 100_000, n).tolist()
+    left = spark.createDataFrame(
+        [(k, int(t), i) for i, (k, t) in enumerate(zip(keys, lts))],
+        "k string, t long, lid int",
+    )
+    right = spark.createDataFrame(
+        [(k, int(t), int(t) * 3) for k, t in zip(keys, rts)],
+        "k string, t long, v long",
+    )
+    plain = asof_join(left, right, by="k", ts_col="t", right_cols=("v",))
+    salted = asof_join_salted(
+        left, right, by="k", ts_col="t", right_cols=("v",), n_buckets=8
+    )
+    p = plain.toPandas().sort_values("lid").reset_index(drop=True)
+    s = salted.toPandas().sort_values("lid").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(p, s)
+    # plan spread: the window exchange partitions on (k, _bkt), not k
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan and "hashpartitioning(k" in plan
+
+
+def test_asof_join_salted_tie_and_boundary_semantics(spark):
+    """Ties at bucket boundaries and the >=-match rule must survive
+    the salting: tied rows share a bucket (assignment is a pure
+    function of ts) and carry-in only feeds buckets with no preceding
+    right row."""
+    import pandas as pd
+
+    from gobulk_spark.operators.asof import asof_join, asof_join_salted
+
+    rows_l = [("a", t, t) for t in range(0, 64)]
+    # right rows only in the FIRST quarter: later buckets depend
+    # entirely on cross-bucket carry-in
+    rows_r = [("a", t, t * 10) for t in range(0, 16)]
+    left = spark.createDataFrame(rows_l, "k string, t long, lid long")
+    right = spark.createDataFrame(rows_r, "k string, t long, v long")
+    for tb in (None, "v"):
+        plain = (
+            asof_join(left, right, "k", "t", ("v",), tie_break=tb)
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        salted = (
+            asof_join_salted(
+                left, right, "k", "t", ("v",), tie_break=tb, n_buckets=8
+            )
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(plain, salted)
+    # every left row at t>=16 reads the bucket-boundary carry (v=150)
+    assert (salted.loc[salted.t >= 16, "asof_v"] == 150).all()
