@@ -833,6 +833,28 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style removal TRANSFORMATION (not just stats): every segment
+    whose corpus document-frequency exceeds 1 is cut from the text,
+    surviving segments keep their order. Hashes shuffle, text does not
+    (operators/quality.segment_dedup_rewrite)."""
+    from gobulk_spark.operators.quality import segment_dedup_rewrite
+
+    return segment_dedup_rewrite(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing via a DISTRIBUTED PREFIX SUM
+    (range-partition by md5 order, parallel per-partition cumsums,
+    driver-side partition offsets) — provably equal to the oracle's
+    global-window cumsum (operators/quality.pack_sequences)."""
+    from gobulk_spark.operators.quality import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", budget=512
+    )
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train docs sharing a 5-gram with the eval split (doc_id % 29 == 0):
     benchmark-contamination scan with a broadcast eval side."""
@@ -980,6 +1002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_exact_near_dups": q_embedding_exact_near_dups,
         "repetition_stats": q_repetition_stats,
         "segment_dedup": q_segment_dedup,
+        "segment_dedup_rewrite": q_segment_dedup_rewrite,
+        "sequence_packing": q_sequence_packing,
         "contamination_check": q_contamination_check,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1417,6 +1441,53 @@ def oracle_sql() -> dict[str, str]:
                        AS shared_frac
             FROM segs s JOIN dfreq USING (seg_hash)
             GROUP BY s.doc_id
+        """,
+        "segment_dedup_rewrite": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +')) AS tok,
+                       unnest(range(1, len(string_split_regex(trim(text), ' +')) + 1)) AS pos
+                FROM documents
+            ),
+            segs AS (
+                SELECT doc_id, (pos - 1) // 8 AS seg_id,
+                       string_agg(tok, ' ' ORDER BY pos) AS seg_text,
+                       md5(string_agg(tok, ' ' ORDER BY pos)) AS seg_hash
+                FROM toks GROUP BY doc_id, (pos - 1) // 8
+            ),
+            dfreq AS (SELECT seg_hash, count(DISTINCT doc_id) AS ndocs
+                      FROM segs GROUP BY seg_hash),
+            marked AS (
+                SELECT s.doc_id, s.seg_id, s.seg_text, d.ndocs > 1 AS is_hot
+                FROM segs s JOIN dfreq d USING (seg_hash)
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed,
+                   coalesce(string_agg(CASE WHEN NOT is_hot THEN seg_text END,
+                                       ' ' ORDER BY seg_id), '') AS clean_text
+            FROM marked GROUP BY doc_id
+        """,
+        "sequence_packing": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+                           AS n_tokens,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (
+                           ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
+            FROM c
         """,
         "contamination_check": """
             WITH toks AS (

@@ -69,6 +69,9 @@ HEADLINE = (
     "stratified_sample",
     "dedup_clusters",
     "embedding_pq_ann",
+    # round-4 operators
+    "segment_dedup_rewrite",
+    "sequence_packing",
 )
 
 # (master, taskset cpu list) — 2N CPUs per N-task leg, see module doc

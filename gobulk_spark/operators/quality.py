@@ -228,3 +228,135 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(_hex_threshold(frac))
         ).otherwise(thr)
     return df.where(b < thr)
+
+
+def segment_dedup_rewrite(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_len: int = 8,
+    max_df: int = 1,
+) -> DataFrame:
+    """The C4-style REMOVAL transformation (Raffel et al. 2020 cut
+    duplicated three-sentence spans; CCNet dropped duplicated
+    paragraphs): rewrite each document with every segment whose corpus
+    document-frequency exceeds ``max_df`` removed, preserving the order
+    of the surviving segments.
+
+    Scale shape: segment document-frequency shuffles only 32-char md5
+    hashes (as segment_dedup_stats); the per-doc removal set is a list
+    of INT positions (tiny), joined back to the text on the primary
+    key — the one text-bearing join, co-partitioned/bucketed at
+    warehouse scale, broadcast when the removal set is small (AQE).
+    The rebuild is a pure column expression (filter + transform over
+    token slices), so the text never crosses an exchange.
+
+    Output: (id, n_segments, n_removed, clean_text); whitespace is
+    normalized to single spaces (both engines tokenize on ' +', so the
+    DuckDB oracle reproduces the rebuild bit-for-bit).
+    """
+    toks = tokens(F.col(text_col))
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
+    seg_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, i * seg_len + 1, F.lit(seg_len))
+    )
+    segs = df.select(
+        id_col,
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n_seg - 1), lambda i: F.md5(seg_at(i)))
+        ).alias("pos", "seg_hash"),
+    )
+    hot = (
+        segs.groupBy("seg_hash")
+        .agg(F.countDistinct(id_col).alias("_ndocs"))
+        .where(F.col("_ndocs") > max_df)
+        .select("seg_hash")
+    )
+    removed = (
+        segs.join(hot, "seg_hash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_rm"))
+    )
+    out = df.join(removed, id_col, "left")
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), n_seg - 1), lambda i: ~F.array_contains(rm, i)
+    )
+    return out.select(
+        id_col,
+        n_seg.cast("long").alias("n_segments"),
+        F.size(rm).cast("long").alias("n_removed"),
+        F.concat_ws(" ", F.transform(kept_idx, seg_at)).alias("clean_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 512,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences —
+    fill-in-hash-order packing: documents ordered by md5(id) (a
+    deterministic global shuffle of the corpus, the same trick as
+    hash_split) are laid head-to-tail and cut into ``budget``-token
+    sequences; each document's seq_id = floor(exclusive_prefix_sum /
+    budget). A document that straddles a boundary belongs to the
+    sequence it starts in (greedy fill with overflow — the standard
+    concat-then-chunk pretraining loader shape).
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not a global window: a
+    single `sum() over (order by ...)` is one partition doing all the
+    work. Instead: range-partition by the hash (global order becomes
+    partition-index order), per-partition cumsums run in parallel
+    windows, per-partition totals (one row each) come to the driver,
+    and each partition adds its exclusive offset. Exactly equal to the
+    global cumsum, at full parallelism; the only driver data is
+    n_partitions longs.
+
+    Output: (id, n_tokens, seq_id). Oracle: the plain global-window
+    cumsum in DuckDB over the same md5 order — provable equality of
+    the distributed rewrite.
+    """
+    n_parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    h = F.md5(F.col(id_col).cast("string"))
+    t = df.select(
+        F.col(id_col),
+        h.alias("_h"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    # ties on the (astronomically unlikely) md5 collision break by id:
+    # the order must be total or the two engines could disagree
+    t = t.repartitionByRange(n_parts, "_h", id_col).sortWithinPartitions(
+        "_h", id_col
+    )
+    # freeze the partition assignment: repartitionByRange draws sample
+    # boundaries, and the frame is consumed twice (totals, then the
+    # cumsum) — a recomputed lineage must not re-draw them
+    t = t.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    # n_partitions rows to the driver — the entire cross-partition state
+    totals = {
+        r["_pid"]: r["_tok"]
+        for r in t.groupBy("_pid").agg(F.sum("n_tokens").alias("_tok")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off = F.lit(0).cast("long")
+    for pid, o in offsets.items():
+        off = F.when(F.col("_pid") == pid, F.lit(o).cast("long")).otherwise(off)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w) + off
+    return t.select(
+        id_col,
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget)).alias("seq_id"),
+    )

@@ -234,3 +234,124 @@ def test_simhash_degenerate_whitespace_matches_oracle_tokenization(spark):
     assert sigs[1] == expect_empty
     assert sigs[2] == sigs[3]  # leading/trailing/multi-space invariance
     assert sigs[4] != sigs[3]  # tab is NOT a separator (token 'a\tb')
+
+
+def test_segment_dedup_rewrite_removes_shared_segments(spark):
+    """The C4-style removal transformation: a segment planted in two
+    docs is cut from BOTH, unique segments survive in order, and a doc
+    made entirely of shared segments rewrites to the empty string."""
+    from gobulk_spark.operators.quality import segment_dedup_rewrite
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    u1 = " ".join(f"a{i}" for i in range(8))
+    u2 = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{u1} {shared}"),          # unique + shared
+            (2, f"{shared} {u2}"),          # shared + unique
+            (3, shared),                    # all shared -> empty
+            (4, "lonely words only here"),  # nothing shared
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        segment_dedup_rewrite(docs, "doc_id", "text", seg_len=8, max_df=1)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "clean_text"] == u1 and out.loc[1, "n_removed"] == 1
+    assert out.loc[2, "clean_text"] == u2 and out.loc[2, "n_removed"] == 1
+    assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_removed"] == 1
+    assert out.loc[4, "clean_text"] == "lonely words only here"
+    assert out.loc[4, "n_removed"] == 0
+    assert out["n_segments"].tolist() == [2, 2, 1, 1]
+
+
+def test_segment_dedup_rewrite_preserves_order(spark):
+    """Surviving segments keep their original order even when removed
+    segments interleave them."""
+    from gobulk_spark.operators.quality import segment_dedup_rewrite
+
+    hot = " ".join(f"h{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [
+            (1, f"p0 p1 p2 p3 {hot} q0 q1 q2 q3 {hot} r0 r1 r2 r3"),
+            (2, hot),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        segment_dedup_rewrite(docs, "doc_id", "text", seg_len=4, max_df=1)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "clean_text"] == "p0 p1 p2 p3 q0 q1 q2 q3 r0 r1 r2 r3"
+    assert out.loc[1, "n_removed"] == 2
+
+
+def test_pack_sequences_matches_global_cumsum(spark):
+    """The distributed prefix sum (range partition + local cumsums +
+    driver offsets) must equal the single global-window cumsum, and be
+    invariant to the input's partitioning."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from gobulk_spark.operators.quality import pack_sequences
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, " ".join("w" for _ in range(int(rng.integers(1, 40)))))
+        for i in range(500)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exp = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "n_tokens": [len(r[1].split()) for r in rows],
+            "h": [hashlib.md5(str(r[0]).encode()).hexdigest() for r in rows],
+        }
+    ).sort_values(["h", "doc_id"])
+    exp["cum"] = exp["n_tokens"].cumsum()
+    exp["seq_id"] = (exp["cum"] - exp["n_tokens"]) // 64
+
+    for parts in (1, 7):
+        got = (
+            pack_sequences(
+                docs.repartition(parts), "doc_id", "text", budget=64,
+                n_partitions=5,
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            exp[["doc_id", "n_tokens", "seq_id"]]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype({"n_tokens": "int64", "seq_id": "int64"})
+        )
+        pd.testing.assert_frame_equal(got.astype({"seq_id": "int64"}), want)
+    # with every doc shorter than the budget no bucket is skipped:
+    # seq ids are dense 0..max (a gap needs a doc spanning a whole
+    # bucket). A per-seq fill floor would be WRONG: an overflowing doc
+    # counts its tokens to the sequence it starts in, so the next
+    # sequence legitimately totals under the budget.
+    assert sorted(got.seq_id.unique()) == list(range(got.seq_id.max() + 1))
+
+
+def test_pack_sequences_overflow_doc_gets_one_sequence(spark):
+    """A document longer than the budget still belongs to exactly the
+    sequence it starts in (greedy fill with overflow)."""
+    from gobulk_spark.operators.quality import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, " ".join("x" for _ in range(200))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, "doc_id", "text", budget=64).toPandas()
+    assert sorted(out.n_tokens.tolist()) == [3, 200]
+    assert out.seq_id.nunique() <= 2  # no doc is split across sequences
