@@ -168,7 +168,9 @@ def write_failure_audit(failed: DataFrame, run_id: str) -> DataFrame:
     failures frame — scales to wholesale failure without touching the
     driver."""
     msg = F.concat(
-        F.col("error_msg"),
+        # coalesce BOTH parts: concat null-propagates, and a sink that
+        # omits error_msg must not null the whole audit message
+        F.coalesce(F.col("error_msg"), F.lit("None")),
         F.lit(" (attempts="),
         F.coalesce(F.col("attempts").cast("string"), F.lit("None")),
         F.lit(")"),

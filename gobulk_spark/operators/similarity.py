@@ -87,6 +87,18 @@ def with_lsh_bucket(
     return emb.withColumn("bucket", _bucket(F.col("embedding")))
 
 
+def lsh_query_bucket(
+    query: list[float], dim: int, n_planes: int, seed: int = 42
+) -> int:
+    """The bucket lsh_bucket_ann scans for this query — ONE definition
+    of the bucket function, shared by the operator and by callers that
+    reason about its candidate set (the driver's bucket-top-k exactness
+    gate); a drifted replica would silently test the wrong bucket."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    signs = (planes @ np.asarray(query, dtype=np.float64)) > 0
+    return int((signs * (1 << np.arange(n_planes))).sum())
+
+
 def lsh_bucket_ann(
     emb: DataFrame,
     query: list[float],
@@ -98,9 +110,7 @@ def lsh_bucket_ann(
 ) -> DataFrame:
     """ANN: score only vectors in the query's LSH bucket (partition-
     pruned scan if the table is written partitioned by bucket)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    signs = (planes @ np.asarray(query, dtype=np.float64)) > 0
-    qbucket = int((signs * (1 << np.arange(n_planes))).sum())
+    qbucket = lsh_query_bucket(query, dim, n_planes, seed)
     bucketed = with_lsh_bucket(emb, dim, n_planes, seed, id_col)
     return (
         bucketed.where(F.col("bucket") == qbucket)
@@ -353,7 +363,7 @@ def ivf_cells_for_band_budget(
         # exact-duplicate threshold: p -> 1, log(p) -> 0; every band
         # matches, so plain banding always fits — no IVF tier needed
         return 1
-    p = 1.0 - math.acos(min(min_cosine, 1.0)) / math.pi
+    p = 1.0 - math.acos(min_cosine) / math.pi  # < 1.0 past the guard
     q = 1.0 - (1.0 - target_recall) ** (1.0 / max_bands)
     r_max = max(1, int(math.log(q) / math.log(p)))
     n_cell_max = max_bucket_size * (2**r_max) / 4.0

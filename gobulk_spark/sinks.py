@@ -324,6 +324,7 @@ def _make_partition_writer(
     max_transient: int,
     max_conflict: int,
     backoff_s: float,
+    arrow_schema,
 ):
     """Executor-side writer for PartitionedRetrySink.write's single
     mapInPandas job: run the bounded per-item retry loop over this
@@ -375,9 +376,16 @@ def _make_partition_writer(
                     )
                     d = _os.path.join(kept_run_dir, leaf)
                     _os.makedirs(d, exist_ok=True)
+                    # the EXPLICIT schema matters: without it pyarrow
+                    # infers types from the pandas group, and an
+                    # all-None string column in one batch would land a
+                    # NULL-typed parquet file that breaks the store's
+                    # schema merge on the next read
                     _pq.write_table(
                         _pa.Table.from_pandas(
-                            grp.drop(columns=["lang"]), preserve_index=False
+                            grp.drop(columns=["lang"]),
+                            schema=arrow_schema,
+                            preserve_index=False,
                         ),
                         _os.path.join(d, f"part-{pid:05d}-{seq:04d}.parquet"),
                     )
@@ -443,12 +451,21 @@ class PartitionedRetrySink(ParquetKeptSink):
         from .fsutil import Fs
 
         Fs(spark, self.out_dir).delete(kept_run_dir)
+        # the declared schema (minus the directory-encoded lang column)
+        # rides into every executor write — file types never drift from
+        # the store even when a batch group is all-null in a column
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        full = to_arrow_schema(df.schema)
+        arrow_schema = pa.schema([f for f in full if f.name != "lang"])
         writer = _make_partition_writer(
             kept_run_dir,
             self.fault,
             self.max_transient_retries,
             self.max_conflict_retries,
             self.backoff_s,
+            arrow_schema,
         )
         failures = df.mapInPandas(writer, schema=FAILURE_SCHEMA_DDL)
         fail_dir = self._failures_dir(run_id)

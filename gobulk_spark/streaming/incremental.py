@@ -59,16 +59,25 @@ def _stage_retry(
 
 def _read_retry_queue(
     spark: SparkSession, out_dir: str, rid: str
-) -> tuple[DataFrame | None, list[str]]:
+) -> tuple[DataFrame | None, list[str], int]:
     """Pending previously-failed kept rows, LATEST version per id.
 
-    Returns (rows, consumed_dir_names); rows is None when the queue is
-    empty. The current epoch's own staging dir (a torn foreachBatch
-    retry may have written it) is excluded — the retried epoch
-    re-derives its own failures. An id staged in two epochs (failed,
-    then re-delivered with new content and failed again) resolves to
-    the highest retry_epoch: retrying an arbitrary version could land
-    stale content and poison the marker with its stale (id, hash)."""
+    Returns (rows, consumed_dir_names, next_seq); rows is None when the
+    queue is empty. The current epoch's own staging dir (a torn
+    foreachBatch retry may have written it) is excluded — the retried
+    epoch re-derives its own failures. An id staged twice (failed, then
+    re-delivered with new content and failed again) resolves to the
+    highest retry_epoch stamp: retrying an arbitrary version could land
+    stale content and poison the marker with its stale (id, hash).
+
+    ``next_seq`` is max(existing stamps) + 1 — the stamp THIS epoch
+    must stage its failures under. The foreachBatch epoch counter is
+    NOT usable as the stamp: it resets when a stream restarts under a
+    new checkpoint, so an undrained dir from a prior run (stamped,
+    say, 5) would beat the newer content a fresh run staged at epoch 0
+    and land stale data. Deriving the stamp from the queue itself keeps
+    it monotonic per out_dir across restarts (re-staged rows always get
+    a stamp above every dir they superseded)."""
     from pyspark.sql.window import Window
 
     from ..fsutil import Fs
@@ -77,22 +86,23 @@ def _read_retry_queue(
     fs = Fs(spark, out_dir)
     root = _retry_root(out_dir)
     if not fs.exists(root):
-        return None, []
+        return None, [], 1
     dirs = [
         d for d in fs.listdir(root) if d.startswith("run=") and d != f"run={rid}"
     ]
     if not dirs:
-        return None, []
+        return None, [], 1
+    raw = spark.read.parquet(*[_join(root, d) for d in dirs])
+    next_seq = int(raw.agg(F.max("retry_epoch")).first()[0] or 0) + 1
     w = Window.partitionBy("image_id").orderBy(
         F.col("retry_epoch").desc(), F.col("content_hash").desc()
     )
     pend = (
-        spark.read.parquet(*[_join(root, d) for d in dirs])
-        .withColumn("_rn", F.row_number().over(w))
+        raw.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn", "retry_epoch")
     )
-    return pend, dirs
+    return pend, dirs, next_seq
 
 
 def _process_microbatch(
@@ -109,7 +119,7 @@ def _process_microbatch(
     # mark — short-circuit the ~20 fixed jobs (a poll-forever stream
     # hits this shape on every empty trigger file). A non-empty queue
     # still processes: an empty sweep is a valid heal trigger.
-    pend, consumed = _read_retry_queue(spark, out, rid)
+    pend, consumed, retry_seq = _read_retry_queue(spark, out, rid)
     if not consumed and batch.isEmpty():
         return
     # input_file_name() returns '' (not NULL) inside foreachBatch, so a
@@ -250,15 +260,16 @@ def _process_microbatch(
         # per-item sink failures land as audit issues (see pipeline.py)
         audit = audit.unionByName(executor.write_failure_audit(failed, rid))
         # ALL failed rows — fresh and re-failed queued ones — re-stage
-        # under this epoch's run scope, stamped with the epoch for the
-        # latest-version-wins resolution; staged BEFORE the consumed
-        # dirs are deleted, so a crash in between re-drains next epoch
-        # (safe: sink writes are idempotent per run scope)
+        # under this epoch's run scope, stamped with the queue-derived
+        # monotonic seq (NOT epoch_id, which resets on stream restart)
+        # for the latest-version-wins resolution; staged BEFORE the
+        # consumed dirs are deleted, so a crash in between re-drains
+        # next epoch (safe: sink writes are idempotent per run scope)
         _stage_retry(
             spark,
             out,
             rid,
-            epoch_id,
+            retry_seq,
             to_write.join(failed_ids, "image_id", "left_semi"),
         )
     if retried is not None:

@@ -390,10 +390,42 @@ def test_retry_queue_keeps_latest_version_per_id(spark):
     )
     _stage_retry(spark, out, "e0", 0, v1)
     _stage_retry(spark, out, "e1", 1, v2)
-    pend, consumed = _read_retry_queue(spark, out, "e2")
+    pend, consumed, next_seq = _read_retry_queue(spark, out, "e2")
     rows = pend.toPandas()
     assert len(rows) == 1 and rows["caption"][0] == "cap v2"
     assert sorted(consumed) == ["run=e0", "run=e1"]
+    assert next_seq == 2  # above every stamp it superseded
     # a torn retry of epoch e1 must NOT consume its own staging dir
-    pend1, consumed1 = _read_retry_queue(spark, out, "e1")
+    pend1, consumed1, _ = _read_retry_queue(spark, out, "e1")
     assert consumed1 == ["run=e0"] and pend1.toPandas()["caption"][0] == "cap v1"
+
+
+def test_retry_stamp_monotonic_across_stream_restarts(spark):
+    """The staging stamp must NOT be the foreachBatch epoch counter: it
+    resets when a stream restarts under a new checkpoint, so an
+    undrained dir from run A (stamped 5) would beat the NEWER content
+    run B staged at its epoch 0. The queue-derived stamp (max existing
+    + 1) keeps latest-version-wins true across restarts."""
+    from gobulk_spark.pipeline import KEPT_SCHEMA_DDL
+    from gobulk_spark.streaming.incremental import _read_retry_queue, _stage_retry
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    out = os.path.join(BASE, "rq_restart")
+    os.makedirs(out)
+    v1 = spark.createDataFrame(
+        [("x", "f", "h1", 8, 8, "png", 1, "old run A", "en", 0.9, 5.0)],
+        KEPT_SCHEMA_DDL,
+    )
+    v2 = spark.createDataFrame(
+        [("x", "f", "h2", 8, 8, "png", 1, "new run B", "en", 0.9, 5.0)],
+        KEPT_SCHEMA_DDL,
+    )
+    # run A staged at its epoch 5; run B (fresh checkpoint, epoch 0)
+    # must stamp ABOVE it — the next_seq the queue read hands back
+    _stage_retry(spark, out, "a-e5", 5, v1)
+    _, _, next_seq = _read_retry_queue(spark, out, "b-e0")
+    assert next_seq == 6
+    _stage_retry(spark, out, "b-e0", next_seq, v2)
+    pend, consumed, _ = _read_retry_queue(spark, out, "c-e0")
+    assert pend.toPandas()["caption"].tolist() == ["new run B"]
+    assert sorted(consumed) == ["run=a-e5", "run=b-e0"]
