@@ -923,6 +923,46 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style target-domain importance weights over the documents
+    table (target corpus = source 'src0', raw pool = the rest). Bucket
+    contributions are integer micro-units, so the weights are exact
+    BIGINT sums — order/partitioning-invariant and SQL-oracle-checkable
+    (operators/quality.dsir_importance_weights)."""
+    from gobulk_spark.operators.quality import dsir_importance_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+    )
+
+
+def q_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dup SUPPRESSION composition a training-data
+    pipeline actually runs, as one oracle-checked query: candidate
+    pairs (exact jaccard >= 0.5 over 2-gram shingles, DF-guarded) →
+    connected-components clusters → min-id survivor per cluster →
+    anti-join the corpus. Victim ids are the only driver-free state
+    (a (long) column, never text)."""
+    from gobulk_spark.operators.dedup import ngram_jaccard_pairs
+    from gobulk_spark.operators.graph import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=2, min_jaccard=0.5, max_shingle_df=64
+    )
+    clusters = dedup_clusters(pairs)
+    victims = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return d.join(victims, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def _winnow_oracle_sql(
     k: int = 16, window: int = 8, min_shared: int = 4, max_fp_df: int = 32
 ) -> str:
@@ -1034,6 +1074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "dedup_clusters": q_dedup_clusters,
+        "near_dup_survivors": q_near_dup_survivors,
+        "dsir_importance_weights": q_dsir_importance_weights,
         # oracle-checked since round 3: the md5-vote simhash is exactly
         # reproducible in SQL, and multi-probe banding is recall-1.0 by
         # pigeonhole (guard never trips on this corpus), so the banded
@@ -1639,6 +1681,95 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cc.cluster_id AS BIGINT) AS cluster_id,
                    CAST(sz.cluster_size AS BIGINT) AS cluster_size
             FROM cc JOIN sz USING (cluster_id)
+        """,
+        # weights are exact integer sums of per-bucket micro-unit
+        # contributions; ln() is the only float op and it is rounded to
+        # 1e-6 BEFORE any summation on both engines
+        "dsir_importance_weights": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       unnest(string_split_regex(trim(text), ' +')) AS tok,
+                       unnest(range(1, len(string_split_regex(trim(text), ' +')) + 1)) AS pos
+                FROM documents
+            ),
+            grams AS (
+                SELECT t1.doc_id, t1.source,
+                       substr(md5(t1.tok || ' ' || t2.tok), 1, 2) AS b
+                FROM toks t1
+                JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+            ),
+            tb AS (SELECT b, count(*) AS ct_t FROM grams
+                   WHERE source = 'src0' GROUP BY b),
+            rb AS (SELECT b, count(*) AS ct_r FROM grams
+                   WHERE source <> 'src0' GROUP BY b),
+            tot AS (SELECT
+                (SELECT count(*) FROM grams WHERE source = 'src0') AS n_t,
+                (SELECT count(*) FROM grams WHERE source <> 'src0') AS n_r),
+            contrib AS (
+                SELECT coalesce(tb.b, rb.b) AS b,
+                       CAST(round((
+                           ln((coalesce(ct_t, 0) + 1.0) / (n_t + 256.0))
+                         - ln((coalesce(ct_r, 0) + 1.0) / (n_r + 256.0))
+                       ) * 1000000, 0) AS BIGINT) AS contrib
+                FROM tb FULL JOIN rb ON tb.b = rb.b, tot
+            ),
+            perdoc AS (SELECT doc_id, b, count(*) AS n_db FROM grams
+                       WHERE source <> 'src0' GROUP BY doc_id, b)
+            SELECT p.doc_id,
+                   CAST(sum(n_db) AS BIGINT) AS n_grams,
+                   CAST(sum(n_db * contrib) AS BIGINT) AS weight_micro
+            FROM perdoc p JOIN contrib USING (b)
+            GROUP BY p.doc_id
+        """,
+        # same candidate/cluster CTE chain as dedup_clusters, final
+        # select inverted: the corpus minus non-canonical cluster members
+        "near_dup_survivors": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +')) AS tok,
+                       unnest(range(1, len(string_split_regex(trim(text), ' +')) + 1)) AS pos
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok AS shingle
+                FROM toks t1
+                JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+            ),
+            shc AS (
+                SELECT sh.doc_id, sh.shingle FROM sh
+                JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle) d
+                  ON d.shingle = sh.shingle
+                WHERE d.df <= 64
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM shc a JOIN shc b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            edges AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+            ),
+            ed2 AS (SELECT id_a AS a, id_b AS b FROM edges
+                    UNION ALL SELECT id_b, id_a FROM edges),
+            nodes AS (SELECT DISTINCT a AS node FROM ed2),
+            reach AS (
+                SELECT node, node AS lbl FROM nodes
+                UNION
+                SELECT e.b AS node, r.lbl FROM reach r JOIN ed2 e ON e.a = r.node
+                WHERE r.lbl < e.b
+            ),
+            cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                   FROM reach GROUP BY node)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+                   CAST(d.n_chars AS BIGINT) AS n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN
+                  (SELECT doc_id FROM cc WHERE cluster_id <> doc_id)
         """,
         "winnow_overlap_pairs": _winnow_oracle_sql(
             k=16, window=8, min_shared=4, max_fp_df=32

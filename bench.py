@@ -72,6 +72,7 @@ HEADLINE = (
     # round-4 operators
     "segment_dedup_rewrite",
     "sequence_packing",
+    "dsir_importance_weights",
 )
 
 # (master, taskset cpu list) — 2N CPUs per N-task leg, see module doc

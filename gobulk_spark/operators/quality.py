@@ -360,3 +360,78 @@ def pack_sequences(
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / F.lit(budget)).alias("seq_id"),
     )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    alpha: float = 1.0,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed n-gram features are
+    under a small TARGET corpus's bucket unigram LM than under the raw
+    pool's own — the standard recipe for skewing a web crawl toward a
+    quality domain before training.
+
+    Buckets are the first two hex chars of md5(n-gram) (256 buckets —
+    the same md5-prefix determinism discipline as hash_split, exactly
+    reproducible in any engine). The per-bucket log-likelihood-ratio
+    contribution is rounded to integer MICRO-units before any
+    summation, so document weights are exact BIGINT sums — invariant
+    to partitioning and float-addition order, and hash-comparable
+    against a SQL oracle (a raw double sum would be order-dependent at
+    the ulp level).
+
+    Scale shape: the target side collapses to a 256-row bucket table
+    (broadcast); raw grams shuffle only (id, 2-char bucket) pairs, and
+    the weight aggregation is a map-side-combined integer sum. Output:
+    (id, n_grams, weight_micro) for every raw doc with at least one
+    n-gram; downstream selection is orderBy(weight_micro)/limit or a
+    weight-thresholded filter.
+    """
+    from .dedup import pin
+
+    n_buckets = 256
+
+    def occ(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(_ngram_occurrences(F.col(text_col), shingle_n)).alias("_g"),
+        ).select(id_col, F.substring(F.md5("_g"), 1, 2).alias("_b"))
+
+    # pinned: three consumers (total count, bucket counts, per-doc agg)
+    # would each re-run the n-gram explode; the registry owns release
+    r_occ = pin(occ(raw))
+    t_occ = occ(target)
+    tb = t_occ.groupBy("_b").agg(F.count("*").alias("ct_t"))
+    rb = r_occ.groupBy("_b").agg(F.count("*").alias("ct_r"))
+    n_t = t_occ.count()
+    n_r = r_occ.count()
+    lr = F.log(
+        (F.col("ct_t") + F.lit(alpha)) / F.lit(n_t + alpha * n_buckets)
+    ) - F.log((F.col("ct_r") + F.lit(alpha)) / F.lit(n_r + alpha * n_buckets))
+    contrib = (
+        tb.join(rb, "_b", "full")
+        .select(
+            "_b",
+            F.coalesce("ct_t", F.lit(0)).alias("ct_t"),
+            F.coalesce("ct_r", F.lit(0)).alias("ct_r"),
+        )
+        .select("_b", F.round(lr * micro, 0).cast("long").alias("_contrib"))
+    )
+    return (
+        r_occ.groupBy(id_col, "_b")
+        .agg(F.count("*").alias("_n_db"))
+        .join(F.broadcast(contrib), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n_db").cast("long").alias("n_grams"),
+            F.sum(F.col("_n_db") * F.col("_contrib")).alias("weight_micro"),
+        )
+        .select(id_col, "n_grams", "weight_micro")
+    )

@@ -355,3 +355,32 @@ def test_pack_sequences_overflow_doc_gets_one_sequence(spark):
     out = pack_sequences(docs, "doc_id", "text", budget=64).toPandas()
     assert sorted(out.n_tokens.tolist()) == [3, 200]
     assert out.seq_id.nunique() <= 2  # no doc is split across sequences
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """A raw doc written in the target corpus's vocabulary must outscore
+    one written in the raw pool's own vocabulary, and weights must be
+    partition-invariant (exact integer sums by construction)."""
+    from gobulk_spark.operators.quality import dsir_importance_weights
+
+    target_text = "alpha beta gamma delta " * 10
+    raw_noise = "zzz yyy xxx www vvv uuu " * 10
+    rows = [(i, raw_noise, "raw") for i in range(2, 20)]
+    rows += [(0, target_text, "raw"), (1, raw_noise, "raw")]
+    trows = [(100 + i, target_text, "tgt") for i in range(5)]
+    df = spark.createDataFrame(rows + trows, "doc_id long, text string, src string")
+    raw = df.where("src = 'raw'")
+    tgt = df.where("src = 'tgt'")
+    out = dsir_importance_weights(raw, tgt, "doc_id", "text").toPandas()
+    w = out.set_index("doc_id")["weight_micro"]
+    assert w[0] > w[1]  # target-like doc wins
+    assert (out.groupby("doc_id").size() == 1).all()
+    out2 = dsir_importance_weights(
+        raw.repartition(7), tgt.repartition(3), "doc_id", "text"
+    ).toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )
