@@ -176,24 +176,38 @@ def asof_join_salted(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # same partitioning and order as w_in -> Catalyst reuses one
-    # exchange + sort for both window functions
-    w_all = (
-        Window.partitionBy(by, "_bkt")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
     carried = u.select(
         *lcols,
         F.col("_side"),
         F.col("_bkt"),
         F.last("_r", ignorenulls=True).over(w_in).alias("_snap"),
-        F.last("_r", ignorenulls=True).over(w_all).alias("_bfinal"),
     )
-    # one row per (key, bucket): every row in the group carries the
-    # same _bfinal, so any_value is exact
-    summaries = carried.groupBy(by, "_bkt").agg(
-        F.any_value("_bfinal").alias("_bfinal")
+    # bucket-final right snapshot per (key, bucket) — an AGGREGATE over
+    # the RIGHT rows only, NOT a second window over carried: the window
+    # subtree is the data-sized cost, and Spark does not reuse the
+    # exchange across the summaries/join fan-out (verified: 0
+    # ReusedExchange under AQE), so hanging summaries off `carried`
+    # computed the full window twice. max_by(struct(ts[, tie])) matches
+    # the window order exactly: struct comparison puts a null tie field
+    # first (it loses), the same asc_nulls_first rule the window uses.
+    # Map-side partial agg reduces each partition to <=1 row per
+    # (key, bucket) before the (tiny) shuffle.
+    tie_key = (
+        F.struct(F.col(ts_col), F.col("_r").getField(tie_break))
+        if tie_break is not None
+        else F.struct(F.col(ts_col))
+    )
+    right_final = (
+        u.where(F.col("_side") == 0)
+        .groupBy(by, "_bkt")
+        .agg(F.max_by("_r", tie_key).alias("_bfinal"))
+    )
+    # every (key, bucket) the data occupies must appear in the carry
+    # chain — a bucket holding only LEFT rows still needs the carry-in
+    # from earlier buckets to flow THROUGH it (null _bfinal, skipped by
+    # last(ignorenulls)); both sides are cheap narrow aggregates
+    summaries = (
+        u.select(by, "_bkt").distinct().join(right_final, [by, "_bkt"], "left")
     )
     w_carry = (
         Window.partitionBy(by)
