@@ -410,6 +410,10 @@ def dsir_importance_weights(
     t_occ = occ(target)
     tb = t_occ.groupBy("_b").agg(F.count("*").alias("ct_t"))
     rb = r_occ.groupBy("_b").agg(F.count("*").alias("ct_r"))
+    if alpha <= 0:
+        # ln(0) on any bucket unseen in one corpus — smoothing is what
+        # makes the ratio total
+        raise ValueError(f"alpha must be > 0, got {alpha}")
     n_t = t_occ.count()
     n_r = r_occ.count()
     lr = F.log(

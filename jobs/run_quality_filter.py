@@ -42,6 +42,12 @@ def main() -> None:
     ap.add_argument("--unpause", action="store_true",
                     help="clear a pause request and exit")
     ap.add_argument("--arrow-batch-rows", type=int, default=2048)
+    ap.add_argument("--sink", choices=["parquet", "partitioned-retry"],
+                    default="parquet",
+                    help="kept-store backend: parquet (Spark-written, "
+                         "all-or-nothing) or partitioned-retry "
+                         "(executor-side per-item retry loop with staged "
+                         "failure capture — the remote-store shape)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName(f"gobulk-quality-filter-{args.run_id}").getOrCreate()
@@ -73,15 +79,20 @@ def main() -> None:
         arrow_batch_rows=args.arrow_batch_rows,
         fused=args.fused,
     )
+    sink = None
+    if args.sink == "partitioned-retry":
+        from gobulk_spark.sinks import PartitionedRetrySink
+
+        sink = PartitionedRetrySink(args.out)
     if args.streaming:
         from gobulk_spark.streaming.incremental import run_streaming_ingest
 
-        run_streaming_ingest(spark, cfg, args.source)
+        run_streaming_ingest(spark, cfg, args.source, sink=sink)
         print(json.dumps({"run_id": args.run_id, "mode": "streaming", "status": "done"}))
     else:
         from gobulk_spark.pipeline import run_pipeline
 
-        summary = run_pipeline(spark, cfg)
+        summary = run_pipeline(spark, cfg, sink=sink)
         print(json.dumps(summary, default=str))
     spark.stop()
 
