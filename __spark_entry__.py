@@ -596,6 +596,7 @@ def q_recall_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_recall_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gobulk_spark.operators.similarity import (
+        _bounded_sample_matrix,
         fit_ivf_centroids,
         fit_pq_codebook,
         ivfpq_ann,
@@ -604,8 +605,11 @@ def q_recall_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     base = e.where(F.col("vec_id") >= 4)
     dim = len(e.select("embedding").first()[0])
-    cents = fit_ivf_centroids(base, dim, 16, 7)  # one fit each,
-    cb = fit_pq_codebook(base, dim)  # shared by all 4 queries
+    # ONE bounded sample pass feeds both fitters (the same discipline
+    # ivfpq_ann itself applies), shared by all 4 query vectors
+    sample = _bounded_sample_matrix(base, "vec_id", 8192)
+    cents = fit_ivf_centroids(base, dim, 16, 7, sample=sample)
+    cb = fit_pq_codebook(base, dim, sample=sample)
     r = _topk_recall(
         spark, sf_dir,
         lambda df, q, dim, k: ivfpq_ann(

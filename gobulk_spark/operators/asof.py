@@ -132,19 +132,31 @@ def asof_join_salted(
        approx-quantile boundaries (one cheap sketch job; bucket
        assignment is a deterministic CASE over ts, so retries agree);
     2. ONE window pass per (key, bucket) — the skewed key now spreads
-       over up to ``n_buckets`` tasks — computing both the
-       within-bucket carry and the bucket-final right snapshot;
-    3. per-key bucket summaries (≤ n_keys × n_buckets rows, tiny)
-       carry the boundary snapshot forward across buckets with a
-       second window over the SUMMARIES — skew-free by construction;
+       over up to ``n_buckets`` tasks — computing the within-bucket
+       carry; the bucket-final right snapshot comes from a SEPARATE
+       max_by aggregate over the right rows only (the window subtree
+       is the data-sized cost and Catalyst does not reuse its exchange
+       across a fan-out — measured);
+    3. per-key bucket summaries (≤ n_keys × n_buckets rows, tiny),
+       left-joined onto the full (key, bucket) domain so carry-in
+       flows through left-only buckets, carry the boundary snapshot
+       forward with a second window over the SUMMARIES — skew-free by
+       construction;
     4. join the carry-in back on (key, bucket) and coalesce the whole
        snapshot STRUCT (atomicity: never stitch fields from two rows).
 
     Equal timestamps keep the >= tie semantics: bucket assignment is a
     function of ts alone, so tied rows share a bucket and the _side
     ordering decides inside the window, exactly as in the plain
-    operator. The provable-equality oracle: the driver runs this
-    operator against the same DuckDB ASOF JOIN oracle as the plain one
+    operator. Caveat (same precondition as the plain operator): with
+    DUPLICATE right rows on (by, ts) and no ``tie_break``, which copy
+    wins is arbitrary on both operators and may differ BETWEEN them
+    (the bucket-final aggregate resolves the tie independently of the
+    window sort) — pass ``tie_break`` or pre-dedupe the right side for
+    a deterministic, provably-equal result.
+
+    The provable-equality oracle: the driver runs this operator
+    against the same DuckDB ASOF JOIN oracle as the plain one
     (query ``asof_join_salted_view``), and the skew test pins plan
     spread + result equality at one-key-owns-half-the-rows skew.
     """

@@ -255,12 +255,20 @@ def segment_dedup_rewrite(
     normalized to single spaces (both engines tokenize on ' +', so the
     DuckDB oracle reproduces the rebuild bit-for-bit).
     """
-    toks = tokens(F.col(text_col))
+    # the token array is PROJECTED to a bound column before any lambda
+    # touches it — defense against the lambda re-inline trap
+    # (ngram_array's docstring): an attribute reference inside a
+    # higher-order-function lambda is a plain row-field read, immune to
+    # Catalyst's no-CSE-across-lambda-scopes behavior. (Measured on
+    # this shape: Spark 4.1 showed no penalty either way at 50
+    # segments/doc — the hoist is free insurance, not a hot fix.)
+    toks = F.col("_toks")
     n_seg = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
     seg_at = lambda i: F.concat_ws(  # noqa: E731
         " ", F.slice(toks, i * seg_len + 1, F.lit(seg_len))
     )
-    segs = df.select(
+    with_toks = df.withColumn("_toks", tokens(F.col(text_col)))
+    segs = with_toks.select(
         id_col,
         F.posexplode(
             F.transform(F.sequence(F.lit(0), n_seg - 1), lambda i: F.md5(seg_at(i)))
@@ -277,7 +285,7 @@ def segment_dedup_rewrite(
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("pos")).alias("_rm"))
     )
-    out = df.join(removed, id_col, "left")
+    out = with_toks.join(removed, id_col, "left")
     rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
     kept_idx = F.filter(
         F.sequence(F.lit(0), n_seg - 1), lambda i: ~F.array_contains(rm, i)
@@ -331,22 +339,30 @@ def pack_sequences(
     t = t.repartitionByRange(n_parts, "_h", id_col).sortWithinPartitions(
         "_h", id_col
     )
-    # freeze the partition assignment: repartitionByRange draws sample
-    # boundaries, and the frame is consumed twice (totals, then the
-    # cumsum) — a recomputed lineage must not re-draw them
-    t = t.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    # pin the partitioned frame: it is consumed twice (totals, then the
+    # cumsum) and the pin registry releases the cache when the caller
+    # is done (a localCheckpoint here leaked its blocks until GC).
+    # Safe under cache eviction: Spark's range sampling is seeded per
+    # partition index — task retries and plan re-executions over the
+    # same input re-draw identical boundaries (the property shuffle
+    # retries themselves depend on), so _pid is stable.
+    from .dedup import pin
+
+    t = pin(t.withColumn("_pid", F.spark_partition_id()))
     # n_partitions rows to the driver — the entire cross-partition state
     totals = {
         r["_pid"]: r["_tok"]
         for r in t.groupBy("_pid").agg(F.sum("n_tokens").alias("_tok")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(totals):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += totals[pid]
-    off = F.lit(0).cast("long")
-    for pid, o in offsets.items():
-        off = F.when(F.col("_pid") == pid, F.lit(o).cast("long")).otherwise(off)
+    spark = df.sparkSession
+    # tiny broadcast lookup, NOT an O(n_partitions)-deep when-chain: a
+    # per-row nested CASE over thousands of cluster partitions is
+    # O(rows x partitions) eval and risks analysis-time stack overflow
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
     from pyspark.sql import Window
 
     w = (
@@ -354,10 +370,10 @@ def pack_sequences(
         .orderBy("_h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("n_tokens").over(w) + off
-    return t.select(
-        id_col,
-        "n_tokens",
+    cum = F.sum("n_tokens").over(w) + F.col("_off")
+    return t.join(F.broadcast(off_df), "_pid").select(
+        F.col(id_col),
+        F.col("n_tokens"),
         F.floor((cum - F.col("n_tokens")) / F.lit(budget)).alias("seq_id"),
     )
 
@@ -394,6 +410,11 @@ def dsir_importance_weights(
     n-gram; downstream selection is orderBy(weight_micro)/limit or a
     weight-thresholded filter.
     """
+    if alpha <= 0:
+        # ln(0) on any bucket unseen in one corpus — smoothing is what
+        # makes the ratio total; checked before any plan is built or
+        # pinned (a post-pin raise would leave a registered cache)
+        raise ValueError(f"alpha must be > 0, got {alpha}")
     from .dedup import pin
 
     n_buckets = 256
@@ -410,10 +431,6 @@ def dsir_importance_weights(
     t_occ = occ(target)
     tb = t_occ.groupBy("_b").agg(F.count("*").alias("ct_t"))
     rb = r_occ.groupBy("_b").agg(F.count("*").alias("ct_r"))
-    if alpha <= 0:
-        # ln(0) on any bucket unseen in one corpus — smoothing is what
-        # makes the ratio total
-        raise ValueError(f"alpha must be > 0, got {alpha}")
     n_t = t_occ.count()
     n_r = r_occ.count()
     lr = F.log(
