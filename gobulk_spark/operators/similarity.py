@@ -824,3 +824,65 @@ def ivfpq_ann(
         codebook=codebook,
         rerank_factor=rerank_factor,
     )
+
+
+def write_ivf_partitioned(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    n_cells: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Materialize the embedding table PARTITIONED BY trained IVF cell —
+    the storage layout that turns probe selection into real PARTITION
+    PRUNING: an un-probed cell's files are never opened, so a query
+    touches n_probe/n_cells of the bytes on disk, not just of the rows
+    in memory. This is the at-rest half of the IVF story the in-memory
+    operators (ivf_ann / ivfpq_ann) describe in their docstrings; at
+    10^9+ vectors the index IS the directory layout.
+
+    Returns the centroids used (fit here if not supplied) — the caller
+    must keep them to route queries; they are the index metadata, the
+    analogue of a FAISS index header.
+    """
+    if centroids is None:
+        centroids = fit_ivf_centroids(emb, dim, n_cells, seed, id_col=id_col)
+    celled = with_ivf_cell(emb, dim, n_cells, seed, id_col, centroids=centroids)
+    celled.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    return centroids
+
+
+def ivf_ann_pruned(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN over a cell-partitioned store written by write_ivf_partitioned:
+    probe selection happens on the DRIVER against the centroids (the
+    index metadata), and the probed cells become a partition-pruning
+    filter — `.explain` shows them in PartitionFilters, and the scan's
+    file listing contains only the probed ivf_cell=... directories
+    (asserted in tests/test_physical_plans.py). Scoring and top-k are
+    identical to ivf_ann: exact cosine over the probed subset,
+    TakeOrdered, deterministic (cosine desc, id) ordering."""
+    scores = centroids @ np.asarray(query, dtype=np.float64)
+    probes = [int(i) for i in np.argsort(-scores)[:n_probe]]
+    df = spark.read.parquet(path)
+    # match the DISCOVERED partition-column type: this engine disables
+    # partitionColumnTypeInference globally (numeric run ids must stay
+    # strings), so ivf_cell reads back as string — probing with int
+    # literals would wrap the partition column in a cast
+    if dict(df.dtypes).get("ivf_cell") == "string":
+        probes = [str(p) for p in probes]
+    df = df.where(F.col("ivf_cell").isin(probes))
+    return (
+        df.select(F.col(id_col), cosine_to(query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

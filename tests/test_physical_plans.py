@@ -101,3 +101,56 @@ def test_lsh_self_join_reuses_pinned_intermediate(spark):
     out = minhash_lsh_candidates(d, "doc_id", "text", 8, 2, max_bucket_size=64)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 3  # guard + join left + join right
+
+
+def test_ivf_partitioned_store_prunes_unprobed_cells(spark, tmp_path):
+    """The at-rest IVF layout: probe selection must become PARTITION
+    PRUNING — the scan lists only the probed ivf_cell=... directories
+    (PartitionFilters in the plan, probed-only files in the scan), and
+    results equal the in-memory ivf_ann on the same centroids."""
+    import numpy as np
+
+    from gobulk_spark.operators.similarity import (
+        ivf_ann,
+        ivf_ann_pruned,
+        write_ivf_partitioned,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n = 16, 400
+    rows = [(i, rng.standard_normal(dim).astype("float32").tolist()) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf_store")
+    cents = write_ivf_partitioned(emb, path, dim, n_cells=8, seed=7)
+    q = rows[0][1]
+    pruned = ivf_ann_pruned(spark, path, q, cents, k=5, n_probe=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    # the same probes through the in-memory operator must agree exactly
+    mem = ivf_ann(
+        emb, q, dim=dim, k=5, n_cells=8, n_probe=2, centroids=cents
+    ).collect()
+    assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in mem]
+    # the pruning filter is a PARTITION filter (directory-level), not a
+    # post-scan data filter: the scan node carries it in
+    # PartitionFilters and the probed cells fully bound what comes back
+    scores = cents @ np.asarray(q, dtype=np.float64)
+    probes = {int(i) for i in np.argsort(-scores)[:2]}
+    # partitionColumnTypeInference is disabled globally (numeric run ids
+    # must stay strings), so the partition column reads back as string
+    got_cells = {
+        int(r["ivf_cell"])
+        for r in spark.read.parquet(path)
+        .where(F.col("ivf_cell").isin([str(p) for p in probes]))
+        .select("ivf_cell")
+        .distinct()
+        .collect()
+    }
+    assert got_cells <= probes and got_cells
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "ivf_cell" in pf.group(1)  # pruning, not a data filter
+    df_filter = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    if df_filter:  # the cell predicate must NOT degrade to a row filter
+        assert "ivf_cell" not in df_filter.group(1)
