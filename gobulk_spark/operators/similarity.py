@@ -886,3 +886,46 @@ def ivf_ann_pruned(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def write_lsh_partitioned(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the embedding table PARTITIONED BY LSH bucket — the
+    at-rest layout lsh_bucket_ann's docstring promises: a query scans
+    one directory out of 2^n_planes. Unlike IVF there is no trained
+    metadata to return; the bucket function is (dim, n_planes, seed),
+    reproduced exactly by lsh_query_bucket."""
+    with_lsh_bucket(emb, dim, n_planes, seed, id_col).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def lsh_ann_pruned(
+    spark,
+    path: str,
+    query: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN over a bucket-partitioned store: the query's bucket
+    (lsh_query_bucket — the operator's own function, never a replica)
+    becomes a directory-level partition filter; exact cosine + top-k
+    over that single directory's files."""
+    qbucket = lsh_query_bucket(query, dim, n_planes, seed)
+    df = spark.read.parquet(path)
+    val = str(qbucket) if dict(df.dtypes).get("bucket") == "string" else qbucket
+    return (
+        df.where(F.col("bucket") == val)
+        .select(F.col(id_col), cosine_to(query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

@@ -154,3 +154,31 @@ def test_ivf_partitioned_store_prunes_unprobed_cells(spark, tmp_path):
     df_filter = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     if df_filter:  # the cell predicate must NOT degrade to a row filter
         assert "ivf_cell" not in df_filter.group(1)
+
+
+def test_lsh_partitioned_store_prunes_to_one_bucket(spark, tmp_path):
+    """The LSH at-rest layout: the query's bucket is a directory-level
+    partition filter and results equal the in-memory single-bucket
+    operator."""
+    import numpy as np
+
+    from gobulk_spark.operators.similarity import (
+        lsh_ann_pruned,
+        lsh_bucket_ann,
+        write_lsh_partitioned,
+    )
+
+    rng = np.random.default_rng(13)
+    rows = [(i, rng.standard_normal(16).astype("float32").tolist()) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "lsh_store")
+    write_lsh_partitioned(emb, path, 16, n_planes=4)
+    q = rows[7][1]
+    pruned = lsh_ann_pruned(spark, path, q, 16, k=5, n_planes=4)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "bucket" in pf.group(1)
+    mem = lsh_bucket_ann(emb, q, 16, k=5, n_planes=4).collect()
+    assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in mem]
