@@ -343,7 +343,14 @@ def _make_partition_writer(
         import pyarrow.parquet as _pq
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # taskAttemptId is unique per ATTEMPT across the job: two
+        # concurrent attempts of the same task (speculative execution)
+        # each write their own temp file and the os.replace rename is
+        # atomic, so the deterministic final path never holds a torn
+        # file — last rename wins with identical content
+        attempt = ctx.taskAttemptId()
         for seq, batch in enumerate(batches):
             landed_mask: list[bool] = []
             fails: list[dict] = []
@@ -353,12 +360,16 @@ def _make_partition_writer(
                 )
                 landed_mask.append(ok)
                 if not ok:
+                    cap = item.get("caption")
                     fails.append(
                         {
                             "image_id": item["image_id"],
                             "source_file": item.get("source_file"),
                             "content_hash": item.get("content_hash"),
-                            "payload": str(item.get("caption")),
+                            # NULL captions stay NULL in the failures
+                            # frame (driver-side sinks preserve them; a
+                            # str() here would land the literal "None")
+                            "payload": None if cap is None else str(cap),
                             "error_msg": err,
                             "attempts": attempts,
                         }
@@ -381,14 +392,17 @@ def _make_partition_writer(
                     # all-None string column in one batch would land a
                     # NULL-typed parquet file that breaks the store's
                     # schema merge on the next read
+                    final = _os.path.join(d, f"part-{pid:05d}-{seq:04d}.parquet")
+                    tmp = f"{final}.{attempt}.tmp"
                     _pq.write_table(
                         _pa.Table.from_pandas(
                             grp.drop(columns=["lang"]),
                             schema=arrow_schema,
                             preserve_index=False,
                         ),
-                        _os.path.join(d, f"part-{pid:05d}-{seq:04d}.parquet"),
+                        tmp,
                     )
+                    _os.replace(tmp, final)
             if fails:
                 f = pd.DataFrame(fails)
                 f["attempts"] = f["attempts"].astype("int32")
@@ -450,7 +464,18 @@ class PartitionedRetrySink(ParquetKeptSink):
         # earlier (possibly torn) attempt before re-landing
         from .fsutil import Fs
 
-        Fs(spark, self.out_dir).delete(kept_run_dir)
+        fs = Fs(spark, self.out_dir)
+        fs.delete(kept_run_dir)
+        # prune consumed failure stagings (same discipline as the retry
+        # queue): by the time a NEW run writes, every prior epoch's
+        # failures frame has been materialized into the audit + retry
+        # queue, so older run= dirs are dead weight that would otherwise
+        # grow without bound on a long-lived streaming out_dir
+        froot = lineage._join(self.out_dir, "_sink_failures")
+        if fs.exists(froot):
+            for d in fs.listdir(froot):
+                if d.startswith("run=") and d != f"run={run_id}":
+                    fs.delete(lineage._join(froot, d))
         # the declared schema (minus the directory-encoded lang column)
         # rides into every executor write — file types never drift from
         # the store even when a batch group is all-null in a column

@@ -92,7 +92,19 @@ def _read_retry_queue(
     ]
     if not dirs:
         return None, [], 1
-    raw = spark.read.parquet(*[_join(root, d) for d in dirs])
+    # mergeSchema: a queue staged by a pre-stamp version of this code
+    # has no retry_epoch column (and a mixed root has it in SOME dirs);
+    # those rows drain as epoch 0 — strictly older than anything the
+    # stamped code writes (stamps start at 1), so latest-wins holds
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        *[_join(root, d) for d in dirs]
+    )
+    if "retry_epoch" not in raw.columns:
+        raw = raw.withColumn("retry_epoch", F.lit(0).cast("long"))
+    else:
+        raw = raw.withColumn(
+            "retry_epoch", F.coalesce(F.col("retry_epoch"), F.lit(0).cast("long"))
+        )
     next_seq = int(raw.agg(F.max("retry_epoch")).first()[0] or 0) + 1
     w = Window.partitionBy("image_id").orderBy(
         F.col("retry_epoch").desc(), F.col("content_hash").desc()

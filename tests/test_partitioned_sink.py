@@ -311,3 +311,67 @@ def test_streaming_drain_with_partitioned_sink(spark):
     assert victims <= kept2
     audit2 = lineage.read_audit(spark, out).toPandas()
     assert victims <= set(audit2.loc[audit2.action == "retry_landed", "image_id"])
+
+
+def _kept_frame(spark, rows):
+    from gobulk_spark.pipeline import KEPT_SCHEMA_DDL
+
+    return spark.createDataFrame(rows, KEPT_SCHEMA_DDL)
+
+
+def test_null_caption_payload_stays_null_in_failures(spark):
+    """A permanently-failed row with a NULL caption must carry a NULL
+    payload in the staged failures frame — the driver-side sinks (and
+    failures_frame joins downstream) preserve NULLs, and a literal
+    "None" string would diverge from them."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    out = os.path.join(BASE, "out")
+    kept = _kept_frame(
+        spark,
+        [
+            ("a-0", "f", "h1", 8, 8, "png", 1, None, "en", 0.9, 5.0),
+            ("b-1", "f", "h2", 8, 8, "png", 2, "real caption", "en", 0.9, 5.0),
+        ],
+    )
+    sink = PartitionedRetrySink(out, fault=lambda item, attempt: "permanent")
+    failures = sink.write(kept, "r1").toPandas().set_index("image_id")
+    assert pd.isna(failures.loc["a-0", "payload"])
+    assert failures.loc["b-1", "payload"] == "real caption"
+
+
+def test_kept_files_land_atomically_no_tmp_left(spark):
+    """Executor writes go to a per-attempt temp name and os.replace into
+    the deterministic final path: after a write the store holds only
+    final parquet leaves, never a *.tmp (the torn-file window under
+    speculative execution closes at the rename)."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    src = _src(80, seed=21)
+    out = os.path.join(BASE, "out")
+    run_pipeline(
+        spark,
+        PipelineConfig(source_path=src, out_dir=out, run_id="r1"),
+        sink=PartitionedRetrySink(out),
+    )
+    leaves = []
+    for root, _dirs, files in os.walk(lineage.kept_dir(out)):
+        leaves.extend(files)
+    assert leaves and not [f for f in leaves if f.endswith(".tmp")]
+    assert all(f.endswith(".parquet") for f in leaves if not f.startswith("_"))
+
+
+def test_sink_failures_staging_pruned_on_next_write(spark):
+    """_sink_failures/run=<rid> dirs are consumed within their own epoch
+    (audit + retry queue are materialized); the NEXT write prunes them
+    so a long-lived streaming out_dir doesn't grow without bound."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    out = os.path.join(BASE, "out")
+    rows = _kept_frame(
+        spark, [("a-0", "f", "h1", 8, 8, "png", 1, "c", "en", 0.9, 5.0)]
+    )
+    faulty = PartitionedRetrySink(out, fault=lambda item, attempt: "permanent")
+    assert faulty.write(rows, "r1") is not None
+    froot = os.path.join(out, "_sink_failures")
+    assert os.path.isdir(os.path.join(froot, "run=r1"))
+    healthy = PartitionedRetrySink(out)
+    assert healthy.write(rows, "r2") is None
+    assert not os.path.isdir(os.path.join(froot, "run=r1"))
