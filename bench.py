@@ -202,13 +202,28 @@ def _warm_page_cache(path: str) -> None:
             pass
 
 
-def time_queries(sf_dir: str, cpus: str) -> dict[str, float]:
+def time_queries(
+    sf_dir: str, cpus: str, n_rounds: int = 3
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Per-leg min over ``n_rounds`` INTERLEAVED passes (round-4 VERDICT
+    #3): this VM carries a ~3-core ambient load with multi-second noise
+    events, and one-timed-run legs kept producing false 2x cross-round
+    verdicts. Interleaving the passes (round-robin over the whole leg
+    list, never N back-to-back runs of one leg) spreads any noise event
+    across legs instead of concentrating it in whichever leg it hit;
+    the min is the least-contended estimate. Returns (min_per_leg,
+    samples_per_leg) — the samples land in BENCH_FULL.json so a future
+    adjudication can see the spread, not just the point."""
     import __spark_entry__ as entrymod
 
     from gobulk_spark.session import get_spark
 
     spark = get_spark(f"local[{cpus}]", app_name="gobulk-bench")
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # round-5 fused the four rows-only ANN entries into one family query;
+    # the bench keeps the standalone pq leg for cross-round comparability
+    # (BENCH_r03/r04 record it by this name)
+    qs["embedding_pq_ann"] = entrymod.q_embedding_pq_ann
     # untimed warm-up: spin up the Python worker pool (reused across
     # queries), import the package + fit the lazy model singletons in
     # every worker, and JIT the scan path — so per-query timings measure
@@ -234,16 +249,17 @@ def time_queries(sf_dir: str, cpus: str) -> dict[str, float]:
     ).save()
     from gobulk_spark.operators.dedup import release_pins
 
-    out: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        out[name] = round(time.time() - t0, 3)
-        # pinned intermediates served their query; disk-spilled blocks
-        # are not LRU-reclaimed, so a long query sequence must release
-        release_pins()
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _round in range(n_rounds):
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples[name].append(round(time.time() - t0, 3))
+            # pinned intermediates served their query; disk-spilled blocks
+            # are not LRU-reclaimed, so a long query sequence must release
+            release_pins()
     spark.stop()
-    return out
+    return {name: min(s) for name, s in samples.items()}, samples
 
 
 def run_pipeline_leg(master: str, source_path: str) -> dict:
@@ -353,7 +369,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    queries = time_queries(sf_dir, cpus)
+    queries, query_samples = time_queries(sf_dir, cpus)
 
     t0 = time.time()
     _warm_page_cache(source)
@@ -422,6 +438,8 @@ def main() -> None:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "query_method": "min of 3 interleaved rounds",
+        "query_samples": query_samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipeline": {
             "rows": l32.get("rows"),

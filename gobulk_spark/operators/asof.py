@@ -237,3 +237,69 @@ def asof_join_salted(
         *lcols,
         *[snap.getField(c).alias(f"{prefix}{c}") for c in right_cols],
     )
+
+
+def max_key_share(df: DataFrame, by: str, support: float = 0.125) -> float:
+    """Largest single-key share of ``df``'s rows, measured with two
+    cheap narrow jobs (often one) over the PRUNED key column:
+
+    1. ``freqItems`` (Misra-Gries single pass, map-side summaries
+       merged on the driver, no shuffle of row data) finds every key
+       whose share COULD exceed ``support`` — the no-candidates case
+       is a proof that no key does, and costs one scan;
+    2. the (≤ 1/support) candidates get exact counts in ONE global
+       aggregate (conditional sums, map-side partial agg — again no
+       wide shuffle), because Misra-Gries over-reports: acting on its
+       false positives would make uniform inputs pay the salted price.
+
+    At warehouse scale both jobs read one column and reduce to a
+    handful of driver longs — the probe is O(scan) with no wide
+    exchange, vs the straggler it prevents."""
+    keys = df.select(by)
+    cands = [c for c in keys.stat.freqItems([by], support).first()[0] if c is not None]
+    if not cands:
+        return 0.0
+    row = keys.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum((F.col(by) == F.lit(c)).cast("long")).alias(f"_c{i}")
+            for i, c in enumerate(cands)
+        ],
+    ).first()
+    n = row["_n"] or 0
+    if not n:
+        return 0.0
+    return max(int(row[f"_c{i}"] or 0) for i in range(len(cands))) / n
+
+
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str,
+    right_cols: tuple[str, ...],
+    prefix: str = "asof_",
+    tie_break: str | None = None,
+    n_buckets: int = 16,
+    skew_threshold: float = 0.125,
+) -> DataFrame:
+    """One as-of entry point that picks plain-vs-salted from MEASURED
+    key skew (round-4 VERDICT #5): the salted rewrite costs ~2× the
+    plain operator at sf0.1 (priced in BASELINE.md), so paying it
+    should be a data-driven decision, not a caller guess.
+
+    A key owning more than ``skew_threshold`` of the unioned rows is a
+    straggler at scale (one window partition doing ≥ threshold of the
+    job on one task); :func:`max_key_share` proves or refutes that with
+    narrow column-pruned probe jobs, and non-skewed inputs then pay
+    exactly the plain operator's plan. The default threshold is 4×
+    the ideal per-task share at 32-way parallelism — hot enough that
+    the 2× salting premium beats the straggler tail it removes."""
+    share = max_key_share(
+        left.select(by).unionAll(right.select(by)), by, skew_threshold
+    )
+    if share > skew_threshold:
+        return asof_join_salted(
+            left, right, by, ts_col, right_cols, prefix, tie_break, n_buckets
+        )
+    return asof_join(left, right, by, ts_col, right_cols, prefix, tie_break)

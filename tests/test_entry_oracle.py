@@ -83,4 +83,24 @@ def test_rows_only_queries_nonempty(spark):
     """The unverifiable operators should still produce plausible output."""
     qs = entrymod.queries()
     assert len(qs["flagship_quality_filter"](spark, SF_DIR).collect()) > 0
-    assert len(qs["embedding_lsh_ann"](spark, SF_DIR).collect()) > 0
+    fams = qs["embedding_ann_families"](spark, SF_DIR).toPandas()
+    assert set(fams["family"]) == {"lsh_bucket", "ivf", "pq", "ivfpq"}
+    assert len(fams) > 0
+
+
+def test_oracle_checked_entries_precede_rows_only():
+    """The driver records exactly the first 50 queries() entries
+    (round-4 CORRECTNESS silently dropped entries 51-54). Pin the two
+    invariants that keep every gate driver-visible: total <= 50, and
+    every oracle-checked entry sorts before the rows-only tail."""
+    qs = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    assert len(qs) <= 50, f"{len(qs)} entries — driver checks only 50"
+    seen_rows_only = False
+    for name in qs:
+        if name not in oracles:
+            seen_rows_only = True
+        else:
+            assert not seen_rows_only, (
+                f"oracle-checked {name!r} sorts after a rows-only entry"
+            )

@@ -421,3 +421,72 @@ def test_asof_join_salted_tie_and_boundary_semantics(spark):
         pd.testing.assert_frame_equal(plain, salted)
     # every left row at t>=16 reads the bucket-boundary carry (v=150)
     assert (salted.loc[salted.t >= 16, "asof_v"] == 150).all()
+
+
+def test_asof_join_auto_selects_by_measured_skew(spark):
+    """asof_join_auto must pick the salted rewrite ONLY when the probe
+    measures a hot key: skewed input (one key = 50% of rows) takes the
+    (key, bucket) spread plan; uniform input pays the plain operator's
+    plan (no _bkt machinery) — and both return the plain results."""
+    import numpy as np
+    import pandas as pd
+
+    from gobulk_spark.operators.asof import asof_join, asof_join_auto
+
+    rng = np.random.default_rng(11)
+    n = 2000
+
+    def frames(keys):
+        lts = rng.integers(0, 50_000, n).tolist()
+        rts = rng.integers(0, 50_000, n).tolist()
+        left = spark.createDataFrame(
+            [(k, int(t), i) for i, (k, t) in enumerate(zip(keys, lts))],
+            "k string, t long, lid int",
+        )
+        right = spark.createDataFrame(
+            [(k, int(t), int(t) * 3) for k, t in zip(keys, rts)],
+            "k string, t long, v long",
+        )
+        return left, right
+
+    # skewed: auto must salt (plan partitions the window on (k, _bkt))
+    lh, rh = frames(["hot" if i % 2 == 0 else f"k{i % 20}" for i in range(n)])
+    hot = asof_join_auto(lh, rh, by="k", ts_col="t", right_cols=("v",), n_buckets=8)
+    plan_hot = hot._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan_hot and "hashpartitioning(k" in plan_hot
+    p = asof_join(lh, rh, by="k", ts_col="t", right_cols=("v",)).toPandas()
+    pd.testing.assert_frame_equal(
+        p.sort_values("lid").reset_index(drop=True),
+        hot.toPandas().sort_values("lid").reset_index(drop=True),
+    )
+
+    # uniform: auto must NOT salt — plain single-window plan
+    lu, ru = frames([f"k{i % 64}" for i in range(n)])
+    cold = asof_join_auto(lu, ru, by="k", ts_col="t", right_cols=("v",), n_buckets=8)
+    plan_cold = cold._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" not in plan_cold
+    pd.testing.assert_frame_equal(
+        asof_join(lu, ru, by="k", ts_col="t", right_cols=("v",))
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True),
+        cold.toPandas().sort_values("lid").reset_index(drop=True),
+    )
+
+
+def test_max_key_share_probe_bounds(spark):
+    """The probe is exact on its candidates: a 50%-share key measures
+    0.5 (within integer rounding), and a uniform key set measures 0
+    via the freqItems no-candidate proof or a sub-threshold share."""
+    from gobulk_spark.operators.asof import max_key_share
+
+    skew = spark.createDataFrame(
+        [("hot" if i % 2 == 0 else f"k{i % 25}",) for i in range(1000)],
+        "k string",
+    )
+    s = max_key_share(skew, "k", 0.125)
+    assert abs(s - 0.5) < 0.01
+    uniform = spark.createDataFrame(
+        [(f"k{i % 50}",) for i in range(1000)], "k string"
+    )
+    assert max_key_share(uniform, "k", 0.125) <= 0.125
