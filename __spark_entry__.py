@@ -761,6 +761,25 @@ def q_ann_store_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate IMAGE pairs (operators/images.py —
+    the simhash banding machinery on the 64-bit phash column) over the
+    deterministic 1500-image corpus (the sf tables carry no image
+    payload; same cached corpus as the flagship gate, which this query
+    ensures exists before the oracle reads it). Guard disabled: recall
+    is exactly 1.0 by pigeonhole, so the banded result must equal the
+    DuckDB all-pairs bit_count(xor) scan bit-for-bit — the planted
+    60%-in-8-hot-buckets phash skew rides through the banding."""
+    from gobulk_spark.corpus import ensure_corpus
+    from gobulk_spark.operators.images import phash_near_dup_images
+
+    path = ensure_corpus("/tmp/gobulk_spark_test_corpora/n1500", 1500, seed=42)
+    imgs = spark.read.parquet(path).select("image_id", "phash")
+    return phash_near_dup_images(
+        imgs, max_hamming=4, max_bucket_size=None, n_rows=1500
+    )
+
+
 def q_flagship_f1_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship parity as an oracle-checked gate (round-4 VERDICT #6):
     run the DISTRIBUTED image+caption pipeline (decode, langid,
@@ -1279,6 +1298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship keep/drop F1 + scrub exact-match vs the reference
         # labeler, measured in-engine against a literal oracle
         "flagship_f1_gate": q_flagship_f1_gate,
+        # image near-dup pairs by phash banding vs the DuckDB all-pairs
+        # hamming scan over the same corpus parquet
+        "phash_near_dup_images": q_phash_near_dup_images,
         # rows-only tail (vectorized Arrow UDF / seeded-RNG operators) —
         # MUST stay last: everything above is oracle-checked and the
         # driver records exactly the first 50 entries
@@ -1598,6 +1620,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'keep_drop_f1' AS metric,
                    CAST(0.99 AS DOUBLE) AS floor, TRUE AS ok
             UNION ALL SELECT 'scrub_exact_match', CAST(1.0 AS DOUBLE), TRUE
+        """,
+        # real (non-literal) oracle over the SAME corpus parquet the
+        # Spark query writes/ensures first: exact all-pairs 64-bit
+        # hamming at the radius — the banded operator with the guard
+        # off is recall-1.0 by pigeonhole, so equality is bit-for-bit
+        "phash_near_dup_images": """
+            WITH p AS (
+                SELECT image_id, phash FROM read_parquet(
+                    '/tmp/gobulk_spark_test_corpora/n1500/pairs.parquet')
+            )
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM p a JOIN p b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 4
         """,
         # same oracle as the plain operator: the skew-adaptive entry
         # point must be result-identical on EITHER path it picks

@@ -239,37 +239,9 @@ def asof_join_salted(
     )
 
 
-def max_key_share(df: DataFrame, by: str, support: float = 0.125) -> float:
-    """Largest single-key share of ``df``'s rows, measured with two
-    cheap narrow jobs (often one) over the PRUNED key column:
-
-    1. ``freqItems`` (Misra-Gries single pass, map-side summaries
-       merged on the driver, no shuffle of row data) finds every key
-       whose share COULD exceed ``support`` — the no-candidates case
-       is a proof that no key does, and costs one scan;
-    2. the (≤ 1/support) candidates get exact counts in ONE global
-       aggregate (conditional sums, map-side partial agg — again no
-       wide shuffle), because Misra-Gries over-reports: acting on its
-       false positives would make uniform inputs pay the salted price.
-
-    At warehouse scale both jobs read one column and reduce to a
-    handful of driver longs — the probe is O(scan) with no wide
-    exchange, vs the straggler it prevents."""
-    keys = df.select(by)
-    cands = [c for c in keys.stat.freqItems([by], support).first()[0] if c is not None]
-    if not cands:
-        return 0.0
-    row = keys.agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[
-            F.sum((F.col(by) == F.lit(c)).cast("long")).alias(f"_c{i}")
-            for i, c in enumerate(cands)
-        ],
-    ).first()
-    n = row["_n"] or 0
-    if not n:
-        return 0.0
-    return max(int(row[f"_c{i}"] or 0) for i in range(len(cands))) / n
+# the skew probe lives with the equi-join skew machinery; re-exported
+# here because asof_join_auto is its second consumer
+from .relational import max_key_share  # noqa: E402
 
 
 def asof_join_auto(

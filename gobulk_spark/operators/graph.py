@@ -30,10 +30,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _driver_union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
-    parent: dict[int, int] = {}
+def _driver_union_find(pairs: list[tuple]) -> dict:
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         parent.setdefault(x, x)
         while parent[x] != x:
             parent[x] = parent[parent[x]]
@@ -72,9 +72,11 @@ def connected_components(
     min-label output (cross-checked in tests); pass 0 to force the
     distributed path.
     """
-    ed2 = edges.select(
-        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    )
+    # node-type-generic: long doc ids and string image ids both flow
+    # through — min-label propagation only needs a total order, and
+    # Spark least()/min() and the driver union-find's min() agree on
+    # the same lexicographic order for strings, numeric for numbers
+    ed2 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     ed2 = ed2.unionByName(ed2.select(F.col("b").alias("a"), F.col("a").alias("b")))
     ed2 = ed2.dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
     if driver_threshold and ed2.count() <= driver_threshold:
@@ -82,8 +84,14 @@ def connected_components(
             [(r["a"], r["b"]) for r in ed2.collect()]
         )
         spark = edges.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        node_t = ed2.schema["a"].dataType
         return spark.createDataFrame(
-            list(labels_map.items()), "node long, cluster_id long"
+            list(labels_map.items()),
+            StructType(
+                [StructField("node", node_t), StructField("cluster_id", node_t)]
+            ),
         )
     labels = ed2.select(F.col("a").alias("node")).dropDuplicates(
         ["node"]

@@ -57,3 +57,61 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))
     return l.join(r, [on, "_salt"], how).drop("_salt")
+
+
+def max_key_share(df: DataFrame, by: str, support: float = 0.125) -> float:
+    """Largest single-key share of ``df``'s rows, measured with two
+    cheap narrow jobs (often one) over the PRUNED key column:
+
+    1. ``freqItems`` (Misra-Gries single pass, map-side summaries
+       merged on the driver, no shuffle of row data) finds every key
+       whose share COULD exceed ``support`` — the no-candidates case
+       is a proof that no key does, and costs one scan;
+    2. the (≤ 1/support) candidates get exact counts in ONE global
+       aggregate (conditional sums, map-side partial agg — again no
+       wide shuffle), because Misra-Gries over-reports: acting on its
+       false positives would make uniform inputs pay the salted price.
+
+    At warehouse scale both jobs read one column and reduce to a
+    handful of driver longs — the probe is O(scan) with no wide
+    exchange, vs the straggler it prevents. Shared by the two
+    skew-adaptive entry points (salted_join_auto, asof.asof_join_auto).
+    """
+    keys = df.select(by)
+    cands = [c for c in keys.stat.freqItems([by], support).first()[0] if c is not None]
+    if not cands:
+        return 0.0
+    row = keys.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum((F.col(by) == F.lit(c)).cast("long")).alias(f"_c{i}")
+            for i, c in enumerate(cands)
+        ],
+    ).first()
+    n = row["_n"] or 0
+    if not n:
+        return 0.0
+    return max(int(row[f"_c{i}"] or 0) for i in range(len(cands))) / n
+
+
+def salted_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_by: str | None = None,
+    skew_threshold: float = 0.125,
+) -> DataFrame:
+    """One equi-join entry point that picks plain-vs-salted from
+    MEASURED left-side key skew: the salted form replicates the right
+    side ``n_salts`` times, a real cost a uniform input should never
+    pay, while a key above ``skew_threshold`` of the left rows is one
+    straggler reducer at scale. :func:`max_key_share` proves which case
+    holds with narrow column-pruned probe jobs; the result is identical
+    either way (salted == plain is the driver-gated identity,
+    query salted_join_revenue)."""
+    share = max_key_share(left.select(on), on, skew_threshold)
+    if share > skew_threshold:
+        return salted_join(left, right, on, n_salts, how, salt_by)
+    return left.join(right, on, how)

@@ -490,3 +490,35 @@ def test_max_key_share_probe_bounds(spark):
         [(f"k{i % 50}",) for i in range(1000)], "k string"
     )
     assert max_key_share(uniform, "k", 0.125) <= 0.125
+
+
+def test_salted_join_auto_selects_by_measured_skew(spark):
+    """salted_join_auto pays the right-side replication ONLY when the
+    probe measures a hot left key; both paths return the plain join's
+    rows."""
+    from gobulk_spark.operators.relational import salted_join_auto
+
+    hot_left = spark.createDataFrame(
+        [("hot" if i % 2 == 0 else f"k{i % 20}", i) for i in range(2000)],
+        "k string, lid int",
+    )
+    right = spark.createDataFrame(
+        [(f"k{i}", i * 10) for i in range(20)] + [("hot", 999)],
+        "k string, v int",
+    )
+    out_hot = salted_join_auto(hot_left, right, "k", n_salts=4)
+    plan_hot = out_hot._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan_hot
+    assert sorted(map(tuple, out_hot.collect())) == sorted(
+        map(tuple, hot_left.join(right, "k").collect())
+    )
+
+    uni_left = spark.createDataFrame(
+        [(f"k{i % 20}", i) for i in range(2000)], "k string, lid int"
+    )
+    out_uni = salted_join_auto(uni_left, right, "k", n_salts=4)
+    plan_uni = out_uni._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" not in plan_uni
+    assert sorted(map(tuple, out_uni.collect())) == sorted(
+        map(tuple, uni_left.join(right, "k").collect())
+    )
