@@ -29,9 +29,13 @@ backend with injectable faults exercising the ES retry contract
 output/elasticsearch.go:309-320,343-360). PartitionedRetrySink is the
 fourth and the PRODUCTION shape of that contract: the same retry loop
 run executor-side inside one mapInPandas job, failures staged to
-parquet and read back — row data never crosses the driver. The e2e
-suite passes against all of them (tests/test_sinks.py,
-tests/test_retry_sink.py, tests/test_partitioned_sink.py).
+parquet and read back — row data never crosses the driver.
+txlog.TxLogKeptSink is the fifth: a from-scratch transaction-log table
+format (atomic rename commits, snapshot isolation, MERGE-shaped
+deletes, time travel) standing in for the environment-gated
+Iceberg/Delta backend. The e2e suite passes against all of them
+(tests/test_sinks.py, tests/test_retry_sink.py,
+tests/test_partitioned_sink.py, tests/test_txlog_sink.py).
 """
 
 from __future__ import annotations

@@ -42,12 +42,15 @@ def main() -> None:
     ap.add_argument("--unpause", action="store_true",
                     help="clear a pause request and exit")
     ap.add_argument("--arrow-batch-rows", type=int, default=2048)
-    ap.add_argument("--sink", choices=["parquet", "partitioned-retry"],
+    ap.add_argument("--sink", choices=["parquet", "partitioned-retry", "txlog"],
                     default="parquet",
                     help="kept-store backend: parquet (Spark-written, "
-                         "all-or-nothing) or partitioned-retry "
+                         "all-or-nothing), partitioned-retry "
                          "(executor-side per-item retry loop with staged "
-                         "failure capture — the remote-store shape)")
+                         "failure capture — the remote-store shape), or "
+                         "txlog (transaction-log table format: atomic "
+                         "commits, snapshot isolation, MERGE-shaped "
+                         "deletes, time travel)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName(f"gobulk-quality-filter-{args.run_id}").getOrCreate()
@@ -84,6 +87,10 @@ def main() -> None:
         from gobulk_spark.sinks import PartitionedRetrySink
 
         sink = PartitionedRetrySink(args.out)
+    elif args.sink == "txlog":
+        from gobulk_spark.txlog import TxLogKeptSink
+
+        sink = TxLogKeptSink(args.out)
     if args.streaming:
         from gobulk_spark.streaming.incremental import run_streaming_ingest
 

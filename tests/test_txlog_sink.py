@@ -1,0 +1,262 @@
+"""TxLogKeptSink: the from-scratch transaction-log table format.
+
+Contracts under test: e2e pipeline parity with ParquetKeptSink,
+MERGE-shaped delete rewrite on incremental re-imports, snapshot
+isolation + time travel, optimistic-concurrency commits, crash-orphan
+recovery, retried-run supersede, vacuum retention, schema-in-log
+validation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from gobulk_spark import lineage
+from gobulk_spark.config import PipelineConfig
+from gobulk_spark.pipeline import run_pipeline
+from gobulk_spark.sinks import ParquetKeptSink, SinkSchemaMismatch
+from gobulk_spark.txlog import TxLogKeptSink
+
+BASE = "/tmp/gobulk_spark_test_out/txlog"
+
+
+def _src(n=200, seed=31) -> str:
+    from gobulk_spark.corpus import generate_pairs
+
+    os.makedirs(BASE, exist_ok=True)
+    pairs, _ = generate_pairs(n, seed=seed)
+    path = os.path.join(BASE, f"src{n}_{seed}.parquet")
+    pq.write_table(pairs, path)
+    return path
+
+
+def _kept_frame(sink, spark):
+    df = sink.read(spark)
+    cols = sorted(df.columns)
+    return (
+        df.select(cols).toPandas().sort_values("image_id").reset_index(drop=True)
+    )
+
+
+def test_e2e_matches_parquet_sink_and_delete_rewrites(spark):
+    """Full pipeline against the txlog sink must produce the same kept
+    rows as the default sink, across a create run AND a re-delivery
+    run (which drives the MERGE-shaped delete + update path)."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    src = _src()
+    out_a, out_b = os.path.join(BASE, "a"), os.path.join(BASE, "b")
+    sinks = {}
+    for out, cls in ((out_a, TxLogKeptSink), (out_b, ParquetKeptSink)):
+        sinks[out] = cls(out)
+        run_pipeline(
+            spark,
+            PipelineConfig(source_path=src, out_dir=out, run_id="r1"),
+            sink=sinks[out],
+        )
+    a1 = _kept_frame(sinks[out_a], spark)
+    b1 = _kept_frame(sinks[out_b], spark)
+    pd.testing.assert_frame_equal(a1, b1)
+    # re-delivered content: delete from prior runs + re-create
+    for out in (out_a, out_b):
+        run_pipeline(
+            spark,
+            PipelineConfig(source_path=src, out_dir=out, run_id="r2"),
+            sink=sinks[out],
+        )
+    a2 = _kept_frame(sinks[out_a], spark)
+    b2 = _kept_frame(sinks[out_b], spark)
+    pd.testing.assert_frame_equal(
+        a2.drop(columns=["run"]), b2.drop(columns=["run"])
+    )
+    assert a2["image_id"].is_unique
+    # the delete landed as remove+add in ONE commit
+    hist = sinks[out_a].history(spark)
+    dels = [e for e in hist if e["op"] == "delete"]
+    assert dels and all(e["remove"] and "add" in e for e in dels)
+
+
+def test_time_travel_and_snapshot_isolation(spark):
+    """read(version=N) reproduces exactly the table as of commit N,
+    including rows later deleted."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "tt"))
+    df1 = spark.createDataFrame(
+        [("a", "x", 1), ("b", "x", 2)], "image_id string, lang string, v int"
+    )
+    df2 = spark.createDataFrame(
+        [("c", "y", 3)], "image_id string, lang string, v int"
+    )
+    sink.write(df1, "r1")
+    sink.write(df2, "r2")
+    keys = spark.createDataFrame([("a",)], "image_id string")
+    sink.delete(spark, "r3", keys)
+    assert {r["image_id"] for r in sink.read(spark).collect()} == {"b", "c"}
+    assert {r["image_id"] for r in sink.read(spark, version=1).collect()} == {
+        "a",
+        "b",
+    }
+    assert {r["image_id"] for r in sink.read(spark, version=2).collect()} == {
+        "a",
+        "b",
+        "c",
+    }
+    hist = sink.history(spark)
+    assert [e["version"] for e in hist] == [1, 2, 3]
+    assert hist[2]["op"] == "delete"
+
+
+def test_commit_is_atomic_rename_losers_retry(spark):
+    """If the next version number is already taken (a concurrent
+    writer won), the commit retries under the following version —
+    nothing is lost, the log stays a gap-free sequence."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "occ"))
+    df = spark.createDataFrame([("a", "x", 1)], "image_id string, lang string, v int")
+    sink.write(df, "r1")
+    # simulate a rival: pre-claim version 2 by hand
+    os.makedirs(sink.log_dir, exist_ok=True)
+    rival = {
+        "version": 2,
+        "op": "write",
+        "run_id": "rival",
+        "add": [],
+        "schema": "image_id string, lang string, v int, run string",
+    }
+    with open(os.path.join(sink.log_dir, f"{2:020d}.json"), "w") as f:
+        json.dump(rival, f)
+    df2 = spark.createDataFrame([("b", "x", 2)], "image_id string, lang string, v int")
+    sink.write(df2, "r2")
+    hist = sink.history(spark)
+    assert [e["version"] for e in hist] == [1, 2, 3]
+    assert hist[2]["run_id"] == "r2"
+    assert {r["image_id"] for r in sink.read(spark).collect()} == {"a", "b"}
+
+
+def test_delete_retries_on_stale_snapshot(spark):
+    """A delete whose snapshot went stale (another commit landed before
+    its own) must re-derive and still remove the victims — the commit
+    carries base_version and refuses to land against a moved table."""
+    from gobulk_spark import txlog as txmod
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "stale"))
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("b", "x", 2)], "image_id string, lang string, v int"
+    )
+    sink.write(df, "r1")
+    real_commit = TxLogKeptSink._commit
+    raced = {"done": False}
+
+    def racing_commit(self, spark_, entry, base_version=None):
+        # on the FIRST delete-commit attempt, sneak a rival write in
+        # first so the base_version check fails exactly once
+        if entry["op"] == "delete" and not raced["done"]:
+            raced["done"] = True
+            rival = spark_.createDataFrame(
+                [("z", "x", 9)], "image_id string, lang string, v int"
+            )
+            sink2 = TxLogKeptSink(self.out_dir)
+            sink2.write(rival, "rival")
+        return real_commit(self, spark_, entry, base_version)
+
+    txmod.TxLogKeptSink._commit = racing_commit
+    try:
+        keys = spark.createDataFrame([("a",)], "image_id string")
+        sink.delete(spark, "r2", keys)
+    finally:
+        txmod.TxLogKeptSink._commit = real_commit
+    assert raced["done"]
+    assert {r["image_id"] for r in sink.read(spark).collect()} == {"b", "z"}
+
+
+def test_recover_cleans_uncommitted_orphans_keeps_history(spark):
+    """Files landed by a write that crashed before its commit are
+    orphans -> recover removes them; files REMOVED by a commit stay on
+    disk (time travel needs them) until vacuum."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "rec"))
+    df = spark.createDataFrame([("a", "x", 1)], "image_id string, lang string, v int")
+    sink.write(df, "r1")
+    # fake a crashed write: data files, no commit
+    orphan_dir = os.path.join(sink.data_dir, "run-crashed")
+    df.withColumn("run", F.lit("crashed")).write.mode("overwrite").parquet(
+        orphan_dir
+    )
+    assert os.path.isdir(orphan_dir)
+    sink.recover(spark)
+    assert not os.path.isdir(orphan_dir)
+    assert {r["image_id"] for r in sink.read(spark).collect()} == {"a"}
+    # delete a, then vacuum: the removed file survives until vacuum
+    sink.delete(spark, "r2", spark.createDataFrame([("a",)], "image_id string"))
+    sink.recover(spark)
+    assert sink.read(spark, version=1) is not None  # time travel still works
+    assert {r["image_id"] for r in sink.read(spark, version=1).collect()} == {"a"}
+    n = sink.vacuum(spark)
+    assert n >= 1
+    latest = sink.read(spark)
+    assert latest is None or latest.count() == 0  # empty at latest
+
+
+def test_retried_run_supersedes_its_own_commit(spark):
+    """A run that commits, then re-runs (resume after a crash later in
+    the phase), must not double its rows: the second write entry for
+    the same run_id supersedes the first at replay."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "retry"))
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("b", "x", 2)], "image_id string, lang string, v int"
+    )
+    sink.write(df, "r1")
+    sink.write(df, "r1")  # retried run, same content
+    out = sink.read(spark).toPandas()
+    assert sorted(out["image_id"]) == ["a", "b"]
+    assert len(sink.history(spark)) == 2
+
+
+def test_validate_rejects_mismatched_schema_from_log_only(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "schema"))
+    df = spark.createDataFrame([("a", "x", 1)], "image_id string, lang string, v int")
+    sink.write(df, "r1")
+    sink.validate(spark, "image_id string, lang string, v int")
+    with pytest.raises(SinkSchemaMismatch):
+        sink.validate(spark, "image_id string, lang string, v bigint")
+    with pytest.raises(SinkSchemaMismatch):
+        sink.validate(spark, "image_id string, lang string")
+
+
+def test_incremental_second_run_only_changed_rows(spark):
+    """The marker/lineage tier composes with the txlog sink: an
+    unchanged re-delivery imports nothing; a changed shard re-imports
+    only its rows via delete+write commits."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    src = _src(150, seed=33)
+    out = os.path.join(BASE, "inc")
+    sink = TxLogKeptSink(out)
+    run_pipeline(
+        spark, PipelineConfig(source_path=src, out_dir=out, run_id="r1"), sink=sink
+    )
+    k1 = _kept_frame(sink, spark)
+    hist1 = len(sink.history(spark))
+    run_pipeline(
+        spark,
+        PipelineConfig(
+            source_path=src, out_dir=out, run_id="r2", incremental=True
+        ),
+        sink=sink,
+    )
+    k2 = _kept_frame(sink, spark)
+    pd.testing.assert_frame_equal(
+        k1.drop(columns=["run"]), k2.drop(columns=["run"])
+    )
+    audit2 = lineage.read_audit(spark, out).toPandas()
+    r2 = audit2[audit2.run_id == "r2"]
+    assert (r2.action == "create").sum() == 0  # nothing changed, nothing lands
+    assert len(sink.history(spark)) >= hist1  # at most a superseding no-op
