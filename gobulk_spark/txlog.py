@@ -56,6 +56,12 @@ from .sinks import SinkSchemaMismatch, _ddl_to_fields, _diff_schema
 #: one log re-read, so contention this deep means a misconfigured fleet
 MAX_COMMIT_ATTEMPTS = 50
 
+#: a checkpoint file materializes the replayed state every N commits
+#: (Delta writes parquet checkpoints every 10), so readers pay
+#: O(commits mod N) JSON reads instead of O(commits) — the log-growth
+#: bound flagged in the module doc
+CHECKPOINT_EVERY = 10
+
 
 class TxLogKeptSink:
     """Kept-store sink over the transaction log (see module doc)."""
@@ -71,37 +77,105 @@ class TxLogKeptSink:
     def _fs(self, spark: SparkSession) -> Fs:
         return Fs(spark, self.out_dir)
 
-    def _entries(self, spark: SparkSession) -> list[dict]:
-        fs = self._fs(spark)
-        names = sorted(
-            n for n in fs.listdir(self.log_dir) if n.endswith(".json")
+    @staticmethod
+    def _is_entry(name: str) -> bool:
+        # strict <20 digits>.json: never a checkpoint, never a .tmp-*
+        # left behind by a commit that crashed before its rename
+        stem = name.split(".")[0]
+        return (
+            name.endswith(".json")
+            and not name.endswith(".checkpoint.json")
+            and stem.isdigit()
         )
-        return [json.loads(fs.read_text(lineage._join(self.log_dir, n))) for n in names]
 
-    def _snapshot(
-        self, entries: list[dict], version: int | None = None
-    ) -> dict[str, tuple[str, str]]:
-        """Replay the log: relative data path -> (op, run_id) of the
-        entry that added it. A later ``write`` entry for the SAME
-        run_id supersedes the earlier one wholesale (the per-run
-        overwrite contract every sink honors for retried runs);
-        ``delete``-rewrite files are tagged by the deleting run but
-        carry prior runs' rows, so only write-adds supersede."""
+    def _entry_names(self, fs: Fs) -> list[str]:
+        return sorted(n for n in fs.listdir(self.log_dir) if self._is_entry(n))
+
+    def _entries(self, spark: SparkSession, after: int = 0) -> list[dict]:
+        fs = self._fs(spark)
+        return [
+            json.loads(fs.read_text(lineage._join(self.log_dir, n)))
+            for n in self._entry_names(fs)
+            if int(n.split(".")[0]) > after
+        ]
+
+    def _state(
+        self, spark: SparkSession, version: int | None = None
+    ) -> tuple[dict[str, tuple[str, str]], set[str], int, str | None]:
+        """Replayed table state at ``version`` (latest when None):
+        (live path->tag, every-path-ever-added, last_version, schema).
+        Starts from the newest checkpoint at-or-below ``version`` and
+        replays only the commit suffix — O(commits mod CHECKPOINT_EVERY)
+        driver reads instead of O(commits)."""
+        fs = self._fs(spark)
+        cps = sorted(
+            int(n.split(".")[0])
+            for n in fs.listdir(self.log_dir)
+            if n.endswith(".checkpoint.json")
+        )
+        base = 0
         live: dict[str, tuple[str, str]] = {}
-        for e in entries:
+        ever: set[str] = set()
+        schema: str | None = None
+        usable = [v for v in cps if version is None or v <= version]
+        if usable:
+            base = usable[-1]
+            cp = json.loads(
+                fs.read_text(
+                    lineage._join(self.log_dir, f"{base:020d}.checkpoint.json")
+                )
+            )
+            live = {p: tuple(tag) for p, tag in cp["live"].items()}
+            ever = set(cp["ever"])
+            schema = cp["schema"]
+        last = base
+        for e in self._entries(spark, after=base):
             if version is not None and e["version"] > version:
                 break
-            if e["op"] == "write":
-                live = {
-                    p: tag
-                    for p, tag in live.items()
-                    if tag != ("write", e["run_id"])
+            self._apply(live, e)
+            ever.update(e.get("add", ()))
+            schema = e["schema"]
+            last = e["version"]
+        return live, ever, last, schema
+
+    @staticmethod
+    def _apply(live: dict[str, tuple[str, str]], e: dict) -> None:
+        if e["op"] == "write":
+            for p in [
+                p for p, tag in live.items() if tag == ("write", e["run_id"])
+            ]:
+                live.pop(p)
+        for p in e.get("remove", ()):
+            live.pop(p, None)
+        for p in e.get("add", ()):
+            live[p] = (e["op"], e["run_id"])
+
+    def _maybe_checkpoint(self, spark: SparkSession, version: int) -> None:
+        if version % CHECKPOINT_EVERY != 0:
+            return
+        live, ever, last, schema = self._state(spark, version)
+        if last != version:
+            return  # raced past; a later commit will checkpoint
+        # derived data, atomically written; a crash here costs nothing
+        # (readers fall back to the previous checkpoint + longer suffix)
+        self._fs(spark).write_text_atomic(
+            lineage._join(self.log_dir, f"{version:020d}.checkpoint.json"),
+            json.dumps(
+                {
+                    "version": version,
+                    "live": {p: list(tag) for p, tag in live.items()},
+                    "ever": sorted(ever),
+                    "schema": schema,
                 }
-            for p in e.get("remove", ()):
-                live.pop(p, None)
-            for p in e.get("add", ()):
-                live[p] = (e["op"], e["run_id"])
-        return live
+            ),
+        )
+
+    # replay rule (implemented in _apply): relative data path ->
+    # (op, run_id) of the entry that added it. A later ``write`` entry
+    # for the SAME run_id supersedes the earlier one wholesale (the
+    # per-run overwrite contract every sink honors for retried runs);
+    # ``delete``-rewrite files are tagged by the deleting run but carry
+    # prior runs' rows, so only write-adds supersede.
 
     def _commit(
         self, spark: SparkSession, entry: dict, base_version: int | None = None
@@ -118,11 +192,7 @@ class TxLogKeptSink:
         fs = self._fs(spark)
         fs.mkdirs(self.log_dir)
         for _ in range(MAX_COMMIT_ATTEMPTS):
-            versions = [
-                int(n.split(".")[0])
-                for n in fs.listdir(self.log_dir)
-                if n.endswith(".json")
-            ]
+            versions = [int(n.split(".")[0]) for n in self._entry_names(fs)]
             v = (max(versions) + 1) if versions else 1
             if base_version is not None and v != base_version + 1:
                 return None  # snapshot went stale; caller re-derives
@@ -130,6 +200,7 @@ class TxLogKeptSink:
             tmp = lineage._join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
             fs.write_text_atomic(tmp, json.dumps(entry))
             if fs.rename(tmp, lineage._join(self.log_dir, f"{v:020d}.json")):
+                self._maybe_checkpoint(spark, v)
                 return v
             fs.delete(tmp)  # lost the race; re-read and retry
         raise OSError(
@@ -152,12 +223,12 @@ class TxLogKeptSink:
         """Schema check against the LOG, not the files: the store's
         schema is commit metadata, so a mismatched store is rejected
         without opening a single parquet footer."""
-        entries = self._entries(spark)
-        if not entries:
+        _, _, last, schema = self._state(spark)
+        if not last:
             return  # empty store: this run establishes the schema
         declared = _ddl_to_fields(spark, schema_ddl)
         declared["run"] = "string"  # physical column this layout stamps
-        live = _ddl_to_fields(spark, entries[-1]["schema"])
+        live = _ddl_to_fields(spark, schema)
         diff = _diff_schema(declared, live)
         if diff:
             raise SinkSchemaMismatch(
@@ -171,9 +242,7 @@ class TxLogKeptSink:
         Files a commit has REMOVED are kept (time travel reads them);
         ``vacuum`` is the explicit operation that ages those out."""
         fs = self._fs(spark)
-        referenced: set[str] = set()
-        for e in self._entries(spark):
-            referenced.update(e.get("add", ()))
+        _, referenced, _, _ = self._state(spark)
         for d in fs.listdir(self.data_dir):
             sub = lineage._join(self.data_dir, d)
             rels = {f"data/{d}/{n}" for n in fs.listdir(sub)}
@@ -213,9 +282,7 @@ class TxLogKeptSink:
         # superseded at replay, and its files stay for time travel —
         # so land the retry under a fresh suffix if the dir is live)
         committed = {
-            p
-            for p in self._snapshot(self._entries(spark))
-            if p.startswith(rel_dir + "/")
+            p for p in self._state(spark)[0] if p.startswith(rel_dir + "/")
         }
         if committed:
             rel_dir = f"data/run-{run_id}-{uuid.uuid4().hex[:8]}"
@@ -243,12 +310,8 @@ class TxLogKeptSink:
         fs = self._fs(spark)
         keys = keys.select("image_id").distinct()
         for _ in range(MAX_COMMIT_ATTEMPTS):
-            entries = self._entries(spark)
-            if not entries:
-                return
-            base_version = entries[-1]["version"]
-            snap = self._snapshot(entries)
-            if not snap:
+            snap, _, base_version, last_schema = self._state(spark)
+            if not base_version or not snap:
                 return
             paths = {self._abs(p): p for p in snap}
             live = spark.read.parquet(*paths).withColumn(
@@ -296,7 +359,7 @@ class TxLogKeptSink:
                     "run_id": run_id,
                     "remove": removed,
                     "add": adds,
-                    "schema": entries[-1]["schema"],
+                    "schema": last_schema,
                 },
                 base_version=base_version,
             )
@@ -308,8 +371,7 @@ class TxLogKeptSink:
     def read(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame | None:
-        entries = self._entries(spark)
-        snap = self._snapshot(entries, version)
+        snap, _, _, _ = self._state(spark, version)
         if not snap:
             return None
         return spark.read.parquet(*[self._abs(p) for p in snap])
@@ -326,12 +388,8 @@ class TxLogKeptSink:
         versions (Delta's VACUUM). Returns the number of files
         removed."""
         fs = self._fs(spark)
-        entries = self._entries(spark)
-        live = set(self._snapshot(entries))
-        ever: set[str] = set()
-        for e in entries:
-            ever.update(e.get("add", ()))
-        dead = sorted(ever - live)
+        live, ever, _, _ = self._state(spark)
+        dead = sorted(ever - set(live))
         for rel in dead:
             fs.delete(self._abs(rel))
         return len(dead)

@@ -260,3 +260,45 @@ def test_incremental_second_run_only_changed_rows(spark):
     r2 = audit2[audit2.run_id == "r2"]
     assert (r2.action == "create").sum() == 0  # nothing changed, nothing lands
     assert len(sink.history(spark)) >= hist1  # at most a superseding no-op
+
+
+def test_log_checkpoint_compacts_replay(spark):
+    """Every CHECKPOINT_EVERY commits a checkpoint file materializes
+    the replayed state: reads start from it (a stray .tmp commit file
+    and the checkpoint itself are never parsed as entries), time travel
+    BEFORE the checkpoint still replays the raw prefix, and the
+    checkpointed state equals a from-scratch replay."""
+    from gobulk_spark.txlog import CHECKPOINT_EVERY
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "cp"))
+    n = CHECKPOINT_EVERY + 2
+    for i in range(n):
+        df = spark.createDataFrame(
+            [(f"id{i}", "x", i)], "image_id string, lang string, v int"
+        )
+        sink.write(df, f"r{i}")
+    cp = os.path.join(sink.log_dir, f"{CHECKPOINT_EVERY:020d}.checkpoint.json")
+    assert os.path.exists(cp)
+    # a crashed commit's tmp file must be ignored by the entry listing
+    with open(os.path.join(sink.log_dir, ".tmp-deadbeef.json"), "w") as f:
+        f.write("{not json")
+    assert {r["image_id"] for r in sink.read(spark).collect()} == {
+        f"id{i}" for i in range(n)
+    }
+    # time travel below the checkpoint replays the raw prefix
+    assert {r["image_id"] for r in sink.read(spark, version=3).collect()} == {
+        "id0",
+        "id1",
+        "id2",
+    }
+    # checkpointed state == from-scratch replay
+    with open(cp) as f:
+        state = json.load(f)
+    raw = {}
+    for e in sink.history(spark):
+        if e["version"] > CHECKPOINT_EVERY:
+            break
+        TxLogKeptSink._apply(raw, e)
+    assert {p: tuple(t) for p, t in state["live"].items()} == raw
+    assert len(sink.history(spark)) == n
