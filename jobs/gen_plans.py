@@ -80,6 +80,40 @@ sections.append(("Embedding brute-force top-k",
   "per-partition top-k merged on the driver, no global sort.",
   fmt(em.queries()["embedding_topk"](spark, sf))))
 
+sections.append(("Image phash near-dup pairs (banded multi-probe)",
+  "The 64-bit phash rides the simhash banding machinery: band keys are "
+  "shiftrightunsigned+mask Column expressions (codegen), the probe side explodes "
+  "JVM-literal mask arrays, the self-join keys on (band, probe_key=band_key), and the "
+  "hamming verification is map-side bit_count BEFORE the distinct — only true pairs "
+  "shuffle. No Python nodes anywhere.",
+  fmt(em.queries()["phash_near_dup_images"](spark, sf))))
+
+from gobulk_spark.operators.asof import asof_join_auto
+ev = spark.read.parquet(f"{sf}/events.parquet")
+purch = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+views = ev.where(F.col("event_type") == "view").groupBy("user_id", "ts").agg(
+    F.max("event_id").alias("event_id"))
+sections.append(("Skew-adaptive as-of join (uniform input -> plain plan)",
+  "asof_join_auto probed key skew (freqItems + candidate counts, narrow jobs not in "
+  "this plan) and found none, so the emitted plan is EXACTLY the plain operator's: one "
+  "Exchange on user_id, one window — no _bkt machinery, no salting premium paid.",
+  fmt(asof_join_auto(purch, views, by="user_id", ts_col="ts",
+                     right_cols=("event_id", "ts"), prefix="view_",
+                     tie_break="event_id"))))
+
+from gobulk_spark.operators.similarity import ivf_ann_pruned, write_ivf_partitioned
+emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+q0 = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+cents = write_ivf_partitioned(
+    emb.where(F.col("vec_id") != 0), "/tmp/gobulk_plans_ivf_store",
+    len(q0), n_cells=16, seed=7)
+sections.append(("At-rest IVF ANN over the cell-partitioned store",
+  "The probe predicate compiles into PartitionFilters (ivf_cell IN ...) — un-probed "
+  "cells' directories are never listed or opened, so probe selection bounds BYTES READ; "
+  "scoring is map-side cosine + TakeOrderedAndProject over the probed subset only.",
+  fmt(ivf_ann_pruned(spark, "/tmp/gobulk_plans_ivf_store", list(q0), cents,
+                     k=10, n_probe=4))))
+
 out = io.StringIO()
 out.write("""# PLANS — annotated physical plans of the hot paths
 
