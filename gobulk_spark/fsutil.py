@@ -53,6 +53,13 @@ class Fs:
     def delete(self, path: str) -> None:
         self._fs.delete(self._p(path), True)  # recursive
 
+    def mtime(self, path: str) -> float:
+        """Modification time in epoch seconds (0.0 if absent)."""
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return 0.0
+        return self._fs.getFileStatus(p).getModificationTime() / 1000.0
+
     def rename(self, src: str, dst: str) -> bool:
         """Atomic-on-HDFS/local rename; returns False if dst exists."""
         return bool(self._fs.rename(self._p(src), self._p(dst)))

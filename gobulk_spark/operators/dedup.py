@@ -88,59 +88,21 @@ def phash_near_dup_candidates(
     id_col: str = "image_id",
     phash_col: str = "phash",
     max_hamming: int = 8,
-    max_bucket_size: int | None = 256,
+    max_bucket_size: int | str | None = 256,
 ) -> DataFrame:
     """Near-duplicate IMAGE candidates by perceptual-hash banding.
 
-    Same banding scheme as simhash text near-dups (operators/text.py):
-    4 x 16-bit bands of the 64-bit phash, equi-join per band, exact
-    hamming filter, hot buckets dropped. This is where the source
-    schema's ``phash`` column pays off: candidate generation is a
-    narrow (id, band, key) shuffle — pixels never move.
-    """
-    from .text import hamming64
+    Alias of :func:`operators.images.phash_near_dup_images` (kept for
+    the round-1 call signature): the round-1 fixed 4x16-bit banding
+    guaranteed recall only to hamming 3 while defaulting the radius to
+    8 — the radius-sized multi-probe banding underneath the images
+    operator guarantees recall 1.0 at ANY radius by generalized
+    pigeonhole (before the hot-bucket guard), so the one
+    implementation now serves both entry points."""
+    from .images import phash_near_dup_images
 
-    sig = df.select(F.col(id_col), F.col(phash_col).alias("simhash"))
-    banded = sig.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned("simhash", b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("band_key"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "simhash", "bk.band", "bk.band_key")
-    if max_bucket_size is not None:
-        hot = (
-            banded.groupBy("band", "band_key")
-            .agg(F.count("*").alias("bs"))
-            .where(F.col("bs") > max_bucket_size)
-            .select("band", "band_key")
-        )
-        banded = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
-    l, r = banded.alias("l"), banded.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
+    return phash_near_dup_images(
+        df, id_col, phash_col, max_hamming, max_bucket_size
     )
 
 

@@ -397,7 +397,14 @@ def _make_partition_writer(
                     # NULL-typed parquet file that breaks the store's
                     # schema merge on the next read
                     final = _os.path.join(d, f"part-{pid:05d}-{seq:04d}.parquet")
-                    tmp = f"{final}.{attempt}.tmp"
+                    # dot-PREFIXED temp name: Spark's parquet reader
+                    # skips hidden files, so a tmp leaked by a killed
+                    # attempt (crash between write and rename) can
+                    # never poison a later read of the store — a
+                    # 'part-*.tmp' suffix would be scanned as data
+                    tmp = _os.path.join(
+                        d, f".part-{pid:05d}-{seq:04d}.{attempt}.tmp"
+                    )
                     _pq.write_table(
                         _pa.Table.from_pandas(
                             grp.drop(columns=["lang"]),
@@ -451,12 +458,14 @@ class PartitionedRetrySink(ParquetKeptSink):
         max_transient_retries: int = 15,
         max_conflict_retries: int = 3,
         backoff_s: float = 0.0,
+        failure_staging_ttl_s: float = 3600.0,
     ):
         super().__init__(out_dir)
         self.fault = fault or (lambda item, attempt: None)
         self.max_transient_retries = max_transient_retries
         self.max_conflict_retries = max_conflict_retries
         self.backoff_s = backoff_s
+        self.failure_staging_ttl_s = failure_staging_ttl_s
 
     def _failures_dir(self, run_id: str) -> str:
         return lineage._join(self.out_dir, "_sink_failures", f"run={run_id}")
@@ -471,14 +480,26 @@ class PartitionedRetrySink(ParquetKeptSink):
         fs = Fs(spark, self.out_dir)
         fs.delete(kept_run_dir)
         # prune consumed failure stagings (same discipline as the retry
-        # queue): by the time a NEW run writes, every prior epoch's
+        # queue): by the time a NEW run writes, a prior SERIAL epoch's
         # failures frame has been materialized into the audit + retry
-        # queue, so older run= dirs are dead weight that would otherwise
-        # grow without bound on a long-lived streaming out_dir
+        # queue, so its run= dir is dead weight that would otherwise
+        # grow without bound on a long-lived streaming out_dir. The TTL
+        # guards the concurrent-runs case: a dir younger than
+        # ``failure_staging_ttl_s`` may belong to another run still
+        # between staging and consuming its failures frame (a lazy
+        # parquet read), so only aged-out dirs are reclaimed
+        import time as _time
+
         froot = lineage._join(self.out_dir, "_sink_failures")
         if fs.exists(froot):
+            now = _time.time()
             for d in fs.listdir(froot):
-                if d.startswith("run=") and d != f"run={run_id}":
+                if (
+                    d.startswith("run=")
+                    and d != f"run={run_id}"
+                    and now - fs.mtime(lineage._join(froot, d))
+                    >= self.failure_staging_ttl_s
+                ):
                     fs.delete(lineage._join(froot, d))
         # the declared schema (minus the directory-encoded lang column)
         # rides into every executor write — file types never drift from

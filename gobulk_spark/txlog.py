@@ -236,15 +236,26 @@ class TxLogKeptSink:
                 f"schema: {diff}"
             )
 
-    def recover(self, spark: SparkSession) -> None:
+    def recover(self, spark: SparkSession, min_age_s: float = 600.0) -> None:
         """Remove data files referenced by NO log entry — the leftovers
         of a write that crashed between landing files and committing.
         Files a commit has REMOVED are kept (time travel reads them);
-        ``vacuum`` is the explicit operation that ages those out."""
+        ``vacuum`` is the explicit operation that ages those out.
+
+        ``min_age_s`` protects CONCURRENT writers (the case the OCC
+        commit protocol exists for): another pipeline may have landed
+        files and not yet committed, so only unreferenced files older
+        than the grace window are reclaimed — the same retention
+        reasoning as Delta's VACUUM default."""
+        import time
+
         fs = self._fs(spark)
         _, referenced, _, _ = self._state(spark)
+        now = time.time()
         for d in fs.listdir(self.data_dir):
             sub = lineage._join(self.data_dir, d)
+            if now - fs.mtime(sub) < min_age_s:
+                continue  # possibly another writer's in-flight landing
             rels = {f"data/{d}/{n}" for n in fs.listdir(sub)}
             keep = {r for r in rels if r in referenced}
             if not keep:
@@ -278,11 +289,14 @@ class TxLogKeptSink:
         rel_dir = f"data/run-{run_id}"
         abs_dir = self._abs(rel_dir)
         # per-run overwrite contract: replace this run's own torn,
-        # UNCOMMITTED earlier attempt (a committed earlier attempt is
-        # superseded at replay, and its files stay for time travel —
-        # so land the retry under a fresh suffix if the dir is live)
+        # UNCOMMITTED earlier attempt — but a dir ANY commit has ever
+        # referenced is history (time travel reads it even after later
+        # deletes rewrote it out of the live set), so the retry of a
+        # previously-committed run lands under a fresh suffix instead.
+        # The EVER set is the right guard here; the live set alone
+        # would let fs.delete erase still-readable historical files
         committed = {
-            p for p in self._state(spark)[0] if p.startswith(rel_dir + "/")
+            p for p in self._state(spark)[1] if p.startswith(rel_dir + "/")
         }
         if committed:
             rel_dir = f"data/run-{run_id}-{uuid.uuid4().hex[:8]}"

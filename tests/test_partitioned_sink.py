@@ -361,8 +361,10 @@ def test_kept_files_land_atomically_no_tmp_left(spark):
 
 def test_sink_failures_staging_pruned_on_next_write(spark):
     """_sink_failures/run=<rid> dirs are consumed within their own epoch
-    (audit + retry queue are materialized); the NEXT write prunes them
-    so a long-lived streaming out_dir doesn't grow without bound."""
+    (audit + retry queue are materialized); the NEXT write prunes aged
+    ones so a long-lived streaming out_dir doesn't grow without bound —
+    but a dir YOUNGER than the TTL survives (it may belong to a
+    concurrent run still between staging and consuming its frame)."""
     shutil.rmtree(BASE, ignore_errors=True)
     out = os.path.join(BASE, "out")
     rows = _kept_frame(
@@ -372,6 +374,11 @@ def test_sink_failures_staging_pruned_on_next_write(spark):
     assert faulty.write(rows, "r1") is not None
     froot = os.path.join(out, "_sink_failures")
     assert os.path.isdir(os.path.join(froot, "run=r1"))
-    healthy = PartitionedRetrySink(out)
-    assert healthy.write(rows, "r2") is None
+    # default TTL: the fresh staging dir is NOT reclaimed
+    guarded = PartitionedRetrySink(out)
+    assert guarded.write(rows, "r2") is None
+    assert os.path.isdir(os.path.join(froot, "run=r1"))
+    # ttl=0 models the aged-out serial case: reclaimed on next write
+    healthy = PartitionedRetrySink(out, failure_staging_ttl_s=0.0)
+    assert healthy.write(rows, "r3") is None
     assert not os.path.isdir(os.path.join(froot, "run=r1"))

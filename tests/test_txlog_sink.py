@@ -190,12 +190,17 @@ def test_recover_cleans_uncommitted_orphans_keeps_history(spark):
         orphan_dir
     )
     assert os.path.isdir(orphan_dir)
+    # default grace window: a FRESH unreferenced dir survives (it may
+    # be a concurrent writer's landed-but-uncommitted files)
     sink.recover(spark)
+    assert os.path.isdir(orphan_dir)
+    # aged out (min_age_s=0 models the post-crash maintenance pass)
+    sink.recover(spark, min_age_s=0)
     assert not os.path.isdir(orphan_dir)
     assert {r["image_id"] for r in sink.read(spark).collect()} == {"a"}
     # delete a, then vacuum: the removed file survives until vacuum
     sink.delete(spark, "r2", spark.createDataFrame([("a",)], "image_id string"))
-    sink.recover(spark)
+    sink.recover(spark, min_age_s=0)
     assert sink.read(spark, version=1) is not None  # time travel still works
     assert {r["image_id"] for r in sink.read(spark, version=1).collect()} == {"a"}
     n = sink.vacuum(spark)
@@ -334,3 +339,29 @@ def test_streaming_drain_composes_with_txlog_sink(spark):
     audit = lineage.read_audit(spark, out).toPandas()
     created = set(audit.loc[audit.action == "create", "image_id"])
     assert k2 == created
+
+
+def test_retried_committed_run_preserves_history_after_rewrite(spark):
+    """Regression (round-5 review): run r1 commits, a later delete
+    rewrites ALL of r1's files out of the live set (they remain
+    time-travel history), then r1 re-runs. The retry must land under a
+    fresh dir — an overwrite of data/run-r1 would erase files version 1
+    still references — and every prior version must stay readable."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "hist"))
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("b", "x", 2)], "image_id string, lang string, v int"
+    )
+    sink.write(df, "r1")  # v1
+    # delete EVERY r1 row: all of r1's files leave the live set
+    sink.delete(
+        spark, "rdel", spark.createDataFrame([("a",), ("b",)], "image_id string")
+    )  # v2
+    sink.write(df, "r1")  # v3: crash-resume of r1 re-lands the rows
+    assert {r["image_id"] for r in sink.read(spark).collect()} == {"a", "b"}
+    assert {r["image_id"] for r in sink.read(spark, version=1).collect()} == {
+        "a",
+        "b",
+    }
+    v2 = sink.read(spark, version=2)
+    assert v2 is None or v2.count() == 0
