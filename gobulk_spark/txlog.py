@@ -66,11 +66,18 @@ CHECKPOINT_EVERY = 10
 class TxLogKeptSink:
     """Kept-store sink over the transaction log (see module doc)."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, settings: dict | None = None):
+        """``settings``: optional store-level properties (the analogue
+        of ES index settings, resolved via
+        storeconfig.resolve_store_configs when base configs are in
+        play). Recorded in every commit; a later run declaring
+        DIFFERENT settings is rejected at validate, same as a schema
+        drift."""
         self.out_dir = out_dir
         self.root = lineage._join(out_dir, "kept_tx")
         self.log_dir = lineage._join(self.root, "_txlog")
         self.data_dir = lineage._join(self.root, "data")
+        self.settings = settings or {}
 
     # -- log primitives ----------------------------------------------------
 
@@ -235,6 +242,21 @@ class TxLogKeptSink:
                 f"txlog store at {self.root} does not match the declared "
                 f"schema: {diff}"
             )
+        # store settings are commit metadata exactly like the schema:
+        # a run declaring different settings against a live store is a
+        # setup error (gobulk validates resolved index configs the same
+        # way, output/elasticsearch.go:92-109)
+        fs = self._fs(spark)
+        names = self._entry_names(fs)
+        last_entry = json.loads(
+            fs.read_text(lineage._join(self.log_dir, names[-1]))
+        )
+        recorded = last_entry.get("settings", {})
+        if recorded != self.settings:
+            raise SinkSchemaMismatch(
+                f"txlog store at {self.root} was committed with settings "
+                f"{recorded}, this run declares {self.settings}"
+            )
 
     def recover(self, spark: SparkSession, min_age_s: float = 600.0) -> None:
         """Remove data files referenced by NO log entry — the leftovers
@@ -310,7 +332,13 @@ class TxLogKeptSink:
         )
         self._commit(
             spark,
-            {"op": "write", "run_id": run_id, "add": adds, "schema": schema_ddl},
+            {
+                "op": "write",
+                "run_id": run_id,
+                "add": adds,
+                "schema": schema_ddl,
+                "settings": self.settings,
+            },
         )
         return None
 
@@ -341,8 +369,15 @@ class TxLogKeptSink:
             ]
             if not affected_abs:
                 return
-            # input_file_name returns a URI; map back by path suffix
+            # input_file_name returns a URI (file:///..., hdfs://...);
+            # O(1) lookup on the scheme-stripped path, with a suffix
+            # scan only as the fallback for exotic URI normalizations
+            by_path = {a.split("://")[-1].lstrip("/"): rel for a, rel in paths.items()}
+
             def rel_of(uri: str) -> str:
+                hit = by_path.get(uri.split("://")[-1].lstrip("/"))
+                if hit is not None:
+                    return hit
                 for a, rel in paths.items():
                     if uri.endswith(a) or uri.endswith(a.lstrip("/")):
                         return rel
@@ -370,6 +405,7 @@ class TxLogKeptSink:
                 spark,
                 {
                     "op": "delete",
+                    "settings": self.settings,
                     "run_id": run_id,
                     "remove": removed,
                     "add": adds,
