@@ -365,3 +365,88 @@ def test_retried_committed_run_preserves_history_after_rewrite(spark):
     }
     v2 = sink.read(spark, version=2)
     assert v2 is None or v2.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# model-based property test: random op sequences vs a reference model
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings as hyp_settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_IDS = ["a", "b", "c", "d", "e"]
+_RUNS = ["r1", "r2", "r3"]
+
+_op = st.one_of(
+    st.tuples(
+        st.just("write"),
+        st.sampled_from(_RUNS),
+        st.lists(st.sampled_from(_IDS), min_size=1, max_size=4, unique=True),
+    ),
+    st.tuples(
+        st.just("delete"),
+        st.sampled_from(_RUNS),
+        st.lists(st.sampled_from(_IDS), min_size=1, max_size=3, unique=True),
+    ),
+)
+
+
+@hyp_settings(max_examples=6, deadline=None)
+@given(ops=st.lists(_op, min_size=2, max_size=6))
+def test_txlog_random_op_sequences_match_model(spark, ops):
+    """Model-based check of the commit-log replay semantics: apply a
+    random write/delete sequence to the sink AND to a flat reference
+    model (write(rid, rows) supersedes rid's prior write contribution;
+    delete(rid, keys) removes victim rows stamped by OTHER runs), then
+    require (a) the live table to equal the model after every op and
+    (b) time travel to reproduce the model's state as of EVERY commit."""
+    import uuid as _uuid
+
+    out = os.path.join(BASE, f"prop-{_uuid.uuid4().hex[:8]}")
+    sink = TxLogKeptSink(out)
+    model: list[tuple[str, str]] = []  # (image_id, run)
+    versions: list[tuple[int, set]] = []
+
+    def table() -> set:
+        df = sink.read(spark)
+        return (
+            set()
+            if df is None
+            else {(r["image_id"], r["run"]) for r in df.collect()}
+        )
+
+    for kind, rid, ids in ops:
+        if kind == "write":
+            df = spark.createDataFrame(
+                [(i, "x", 1) for i in ids], "image_id string, lang string, v int"
+            )
+            sink.write(df, rid)
+            model = [(i, r) for (i, r) in model if r != rid] + [
+                (i, rid) for i in ids
+            ]
+        else:
+            before = len(sink.history(spark))
+            sink.delete(
+                spark,
+                rid,
+                spark.createDataFrame([(i,) for i in ids], "image_id string"),
+            )
+            model = [
+                (i, r) for (i, r) in model if not (i in ids and r != rid)
+            ]
+            if len(sink.history(spark)) == before:
+                # no-op delete (no victims): no commit, nothing to record
+                assert table() == set(model)
+                continue
+        v = sink.history(spark)[-1]["version"]
+        versions.append((v, set(model)))
+        assert table() == set(model), f"live mismatch after {kind} {rid} {ids}"
+    for v, expect in versions:
+        df = sink.read(spark, version=v)
+        got = (
+            set()
+            if df is None
+            else {(r["image_id"], r["run"]) for r in df.collect()}
+        )
+        assert got == expect, f"time travel to v{v}"
+    shutil.rmtree(out, ignore_errors=True)
