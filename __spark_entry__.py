@@ -732,7 +732,14 @@ def q_ann_store_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.where(F.col("vec_id") != 0)
     dim = len(query)
     q = list(query)
-    root = "/tmp/gobulk_spark_ann_store_gate"
+    # per-application store path: two concurrent sessions (driver gate
+    # + a local pytest sweep) must never overwrite/read each other's
+    # store mid-gate — applicationId is stable within a session, so
+    # re-runs in one session still reuse/overwrite their own dirs
+    root = (
+        "/tmp/gobulk_spark_ann_store_gate-"
+        f"{spark.sparkContext.applicationId}"
+    )
     ivf_path, lsh_path = f"{root}/ivf", f"{root}/lsh"
     cents = write_ivf_partitioned(base, ivf_path, dim, n_cells=16, seed=7)
     pruned = ivf_ann_pruned(spark, ivf_path, q, cents, k=10, n_probe=4)

@@ -61,16 +61,22 @@ def salted_join(
 
 def max_key_share(df: DataFrame, by: str, support: float = 0.125) -> float:
     """Largest single-key share of ``df``'s rows, measured with two
-    cheap narrow jobs (often one) over the PRUNED key column:
+    cheap narrow jobs over the PRUNED key column:
 
     1. ``freqItems`` (Misra-Gries single pass, map-side summaries
-       merged on the driver, no shuffle of row data) finds every key
-       whose share COULD exceed ``support`` — the no-candidates case
-       is a proof that no key does, and costs one scan;
+       merged on the driver, no shuffle of row data) finds every
+       non-null key whose share COULD exceed ``support``;
     2. the (≤ 1/support) candidates get exact counts in ONE global
-       aggregate (conditional sums, map-side partial agg — again no
-       wide shuffle), because Misra-Gries over-reports: acting on its
-       false positives would make uniform inputs pay the salted price.
+       aggregate (conditional sums + the null share, map-side partial
+       agg — again no wide shuffle), because Misra-Gries over-reports:
+       acting on its false positives would make uniform inputs pay
+       the salted price.
+
+    NULL is measured as a key of its own: a null-heavy column is a
+    classic straggler for window operators (every null row lands in ONE
+    window partition), so the probe must see it even though freqItems
+    candidates can't represent it — the exact-count aggregate always
+    carries a null-share column alongside the candidate counts.
 
     At warehouse scale both jobs read one column and reduce to a
     handful of driver longs — the probe is O(scan) with no wide
@@ -79,10 +85,9 @@ def max_key_share(df: DataFrame, by: str, support: float = 0.125) -> float:
     """
     keys = df.select(by)
     cands = [c for c in keys.stat.freqItems([by], support).first()[0] if c is not None]
-    if not cands:
-        return 0.0
     row = keys.agg(
         F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(by).isNull().cast("long")).alias("_null"),
         *[
             F.sum((F.col(by) == F.lit(c)).cast("long")).alias(f"_c{i}")
             for i, c in enumerate(cands)
@@ -91,7 +96,10 @@ def max_key_share(df: DataFrame, by: str, support: float = 0.125) -> float:
     n = row["_n"] or 0
     if not n:
         return 0.0
-    return max(int(row[f"_c{i}"] or 0) for i in range(len(cands))) / n
+    shares = [int(row["_null"] or 0)] + [
+        int(row[f"_c{i}"] or 0) for i in range(len(cands))
+    ]
+    return max(shares) / n
 
 
 def salted_join_auto(

@@ -449,7 +449,18 @@ class PartitionedRetrySink(ParquetKeptSink):
     calls for a pyarrow.fs S3/HDFS handle — the job shape is
     unchanged). The failures staging keeps wholesale failure off the
     driver: an epoch where every row fails yields a large failures
-    frame that lives entirely in parquet."""
+    frame that lives entirely in parquet.
+
+    Concurrency contract: the per-attempt temp + atomic rename keeps
+    racing task attempts from TEARING a file, and with a
+    DETERMINISTIC per-(item, attempt) outcome — the write-by-id
+    idempotent remote store this class models — racing attempts land
+    identical content, so last-rename-wins is safe. If the remote
+    outcome is NONDETERMINISTIC across attempts, a speculative
+    duplicate attempt could land a file disagreeing with the committed
+    attempt's failures frame; run such sinks with
+    ``spark.speculation=false`` (the Spark default) so exactly one
+    attempt's loop decides both the file and the frame."""
 
     def __init__(
         self,
@@ -494,12 +505,14 @@ class PartitionedRetrySink(ParquetKeptSink):
         if fs.exists(froot):
             now = _time.time()
             for d in fs.listdir(froot):
-                if (
-                    d.startswith("run=")
-                    and d != f"run={run_id}"
-                    and now - fs.mtime(lineage._join(froot, d))
-                    >= self.failure_staging_ttl_s
-                ):
+                if not d.startswith("run=") or d == f"run={run_id}":
+                    continue
+                m = fs.mtime(lineage._join(froot, d))
+                # mtime 0 = the store reports no time for this path
+                # (object-store synthetic dirs): UNKNOWN age must read
+                # as young, never as ancient — deleting on it would
+                # reopen the concurrent-run race the TTL exists to close
+                if m > 0 and now - m >= self.failure_staging_ttl_s:
                     fs.delete(lineage._join(froot, d))
         # the declared schema (minus the directory-encoded lang column)
         # rides into every executor write — file types never drift from

@@ -63,11 +63,14 @@ def resolve_store_configs(
         out["name"] = f"{repo['name']}{suffix}"
         for prefix, base in bases.items():
             if out["name"].startswith(prefix):
+                # `or {}` on BOTH sides: a JSON round-trip leaves
+                # explicit nulls, and a base with "schema": null must
+                # merge like an absent one, not crash the merge
                 out["schema"] = deep_merge(
-                    base.get("schema", {}), out.get("schema", {}) or {}
+                    base.get("schema") or {}, out.get("schema") or {}
                 )
                 out["settings"] = deep_merge(
-                    base.get("settings", {}), out.get("settings", {}) or {}
+                    base.get("settings") or {}, out.get("settings") or {}
                 )
         resolved.append(out)
     return resolved

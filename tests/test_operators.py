@@ -522,3 +522,34 @@ def test_salted_join_auto_selects_by_measured_skew(spark):
     assert sorted(map(tuple, out_uni.collect())) == sorted(
         map(tuple, uni_left.join(right, "k").collect())
     )
+
+
+def test_max_key_share_measures_null_skew(spark):
+    """NULL is a key for window-partitioning purposes: a null-heavy
+    column must register as skew (round-5 review) so asof_join_auto
+    salts the one-partition null straggler."""
+    from gobulk_spark.operators.asof import asof_join, asof_join_auto
+    from gobulk_spark.operators.relational import max_key_share
+
+    rows = [(None if i % 2 == 0 else f"k{i % 20}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string")
+    assert abs(max_key_share(df, "k", 0.125) - 0.5) < 0.01
+    # and the auto as-of actually salts on it (plan spread on (k,_bkt))
+    left = spark.createDataFrame(
+        [(k[0], i, i) for i, k in enumerate(rows)], "k string, t long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k[0], i, i * 3) for i, k in enumerate(rows)], "k string, t long, v long"
+    )
+    out = asof_join_auto(left, right, by="k", ts_col="t", right_cols=("v",), n_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        asof_join(left, right, by="k", ts_col="t", right_cols=("v",))
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True),
+        out.toPandas().sort_values("lid").reset_index(drop=True),
+    )

@@ -98,3 +98,15 @@ def test_txlog_sink_validates_settings_as_commit_metadata(spark):
     drifted = TxLogKeptSink(out, settings={"compression": "lz4"})
     with pytest.raises(SinkSchemaMismatch, match="settings"):
         drifted.validate(spark, ddl)
+
+
+def test_resolve_tolerates_null_base_sections():
+    """A base config with explicit null schema/settings (JSON
+    round-trip shape) merges like an absent one (round-5 review)."""
+    out = resolve_store_configs(
+        [
+            {"name": "logs-base", "schema": None, "settings": {"a": 1}},
+            {"name": "logs", "settings": None},
+        ]
+    )
+    assert out[0]["schema"] == {} and out[0]["settings"] == {"a": 1}
