@@ -53,6 +53,13 @@ class Fs:
     def delete(self, path: str) -> None:
         self._fs.delete(self._p(path), True)  # recursive
 
+    def size(self, path: str) -> int:
+        """File length in bytes (0 if absent)."""
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return 0
+        return int(self._fs.getFileStatus(p).getLen())
+
     def mtime(self, path: str) -> float:
         """Modification time in epoch seconds (0.0 if absent)."""
         p = self._p(path)

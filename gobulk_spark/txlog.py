@@ -23,7 +23,14 @@ spec's snapshot/manifest model), sized to this engine's needs:
 - time travel: ``read(version=N)`` replays a prefix of the log;
 - schema-in-log: ``validate`` diffs the declared schema against the
   log's recorded schema — no data files are opened to reject a
-  mismatched store.
+  mismatched store;
+- small-file compaction: ``optimize`` bin-packs small live files in
+  one content-preserving OCC commit (Delta's OPTIMIZE / Iceberg's
+  rewrite_data_files) — the maintenance operation that keeps a
+  streaming-ingested table scannable;
+- change feed: ``read_changes`` emits exact row-level
+  inserts/deletes between versions (Delta CDF / Iceberg incremental
+  scan) so downstream consumers never rescan the table.
 
 It plugs into the engine through the same ``KeptSink`` seam as every
 other backend (sinks.py), so the full pipeline — phases, lineage,
@@ -276,7 +283,11 @@ class TxLogKeptSink:
         now = time.time()
         for d in fs.listdir(self.data_dir):
             sub = lineage._join(self.data_dir, d)
-            if now - fs.mtime(sub) < min_age_s:
+            m = fs.mtime(sub)
+            # mtime 0 (object-store synthetic dir) = unknown age: treat
+            # as young unless the caller explicitly disabled the grace
+            # window — never reclaim on an unreadable clock
+            if min_age_s > 0 and (m <= 0 or now - m < min_age_s):
                 continue  # possibly another writer's in-flight landing
             rels = {f"data/{d}/{n}" for n in fs.listdir(sub)}
             keep = {r for r in rels if r in referenced}
@@ -308,39 +319,98 @@ class TxLogKeptSink:
         raises; task retry is the executor tier)."""
         spark = df.sparkSession
         fs = self._fs(spark)
-        rel_dir = f"data/run-{run_id}"
-        abs_dir = self._abs(rel_dir)
-        # per-run overwrite contract: replace this run's own torn,
-        # UNCOMMITTED earlier attempt — but a dir ANY commit has ever
-        # referenced is history (time travel reads it even after later
-        # deletes rewrote it out of the live set), so the retry of a
-        # previously-committed run lands under a fresh suffix instead.
-        # The EVER set is the right guard here; the live set alone
-        # would let fs.delete erase still-readable historical files
-        committed = {
-            p for p in self._state(spark)[1] if p.startswith(rel_dir + "/")
-        }
-        if committed:
-            rel_dir = f"data/run-{run_id}-{uuid.uuid4().hex[:8]}"
-            abs_dir = self._abs(rel_dir)
-        fs.delete(abs_dir)
         out = df.withColumn("run", F.lit(run_id))
-        out.write.mode("overwrite").parquet(abs_dir)
-        adds = self._list_parquet(fs, abs_dir, rel_dir)
         schema_ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in out.schema.fields
         )
-        self._commit(
-            spark,
-            {
-                "op": "write",
-                "run_id": run_id,
-                "add": adds,
-                "schema": schema_ddl,
-                "settings": self.settings,
-            },
-        )
-        return None
+        staged: list[str] = []
+        for _ in range(MAX_COMMIT_ATTEMPTS):
+            for d in staged:  # prior attempt's landing, superseded by retry
+                fs.delete(d)
+            staged = []
+            live, ever, base_version, _ = self._state(spark)
+            base_rel = f"data/run-{run_id}"
+            # per-run overwrite contract: replace this run's own torn,
+            # UNCOMMITTED earlier attempt — but a dir ANY commit has
+            # ever referenced is history (time travel reads it even
+            # after later deletes rewrote it out of the live set), so
+            # the retry of a previously-committed run lands under a
+            # fresh suffix instead. The EVER set is the right guard;
+            # the live set alone would let fs.delete erase
+            # still-readable historical files
+            rel_dir = (
+                f"data/run-{run_id}-{uuid.uuid4().hex[:8]}"
+                if any(p.startswith(base_rel + "/") for p in ever)
+                else base_rel
+            )
+            abs_dir = self._abs(rel_dir)
+            fs.delete(abs_dir)
+            out.write.mode("overwrite").parquet(abs_dir)
+            staged.append(abs_dir)
+            adds = self._list_parquet(fs, abs_dir, rel_dir)
+            appended = list(adds)
+            # a RETRIED run's surviving rows can also live in files this
+            # run's write entries never added — delete-rewrite files
+            # (tagged ('delete', <other run>)) and compaction output
+            # (tagged ('optimize', ...)) — which the write-supersede
+            # replay rule cannot touch; without this purge the retry's
+            # full re-write would DUPLICATE those rows. Rewrite the
+            # affected files without this run's rows in the SAME commit
+            removed: list[str] = []
+            rw_live = [p for p, tag in live.items() if tag[0] != "write"]
+            if rw_live:
+                rw_paths = {self._abs(p): p for p in rw_live}
+                rw = spark.read.parquet(*rw_paths).withColumn(
+                    "_f", F.input_file_name()
+                )
+                hit_abs = [
+                    r["_f"]
+                    for r in rw.where(F.col("run") == run_id)
+                    .select("_f")
+                    .distinct()
+                    .collect()
+                ]
+                if hit_abs:
+                    by_path = {
+                        a.split("://")[-1].lstrip("/"): rel
+                        for a, rel in rw_paths.items()
+                    }
+                    removed = sorted(
+                        {
+                            by_path[u.split("://")[-1].lstrip("/")]
+                            for u in hit_abs
+                        }
+                    )
+                    purge_rel = f"data/purge-{run_id}-{uuid.uuid4().hex[:8]}"
+                    purge_abs = self._abs(purge_rel)
+                    spark.read.parquet(
+                        *[self._abs(r) for r in removed]
+                    ).where(F.col("run") != run_id).write.mode(
+                        "overwrite"
+                    ).parquet(purge_abs)
+                    staged.append(purge_abs)
+                    adds = adds + self._list_parquet(fs, purge_abs, purge_rel)
+            v = self._commit(
+                spark,
+                {
+                    "op": "write",
+                    "run_id": run_id,
+                    "add": adds,
+                    # the APPEND subset of add (run-dir files, not purge
+                    # rewrites) — read_changes derives inserts from it
+                    "appended": appended,
+                    "remove": removed,
+                    "schema": schema_ddl,
+                    "settings": self.settings,
+                },
+                # the purge was derived from a snapshot: commit only
+                # against that exact version, else re-derive (same OCC
+                # rule as delete). A purge-free write appends blindly.
+                base_version=base_version if removed else None,
+            )
+            if v is not None:
+                return None
+        raise OSError(f"txlog write lost {MAX_COMMIT_ATTEMPTS} snapshot races")
 
     def delete(self, spark: SparkSession, run_id: str, keys: DataFrame) -> None:
         """MERGE-shaped delete of ``keys`` from prior runs' rows: find
@@ -386,19 +456,19 @@ class TxLogKeptSink:
             removed = sorted({rel_of(u) for u in affected_abs})
             rw_rel = f"data/rw-{run_id}-{uuid.uuid4().hex[:8]}"
             rw_abs = self._abs(rw_rel)
-            survivors = (
+            # ONE read of the affected files: a row survives the
+            # rewrite unless it matches a victim key AND was stamped by
+            # another run (prior-runs-only semantics, mirroring
+            # delete_keys_from_prior_runs) — the broadcast-left-join
+            # marker replaces the earlier anti-join + semi-join pair
+            # that scanned every affected file twice
+            marked = keys.withColumn("_victim", F.lit(True))
+            kept_rows = (
                 spark.read.parquet(*[self._abs(r) for r in removed])
-                .alias("t")
-                .join(keys.alias("k"), "image_id", "left_anti")
+                .join(marked, "image_id", "left")
+                .where(F.col("_victim").isNull() | (F.col("run") == run_id))
+                .drop("_victim")
             )
-            own = (
-                spark.read.parquet(*[self._abs(r) for r in removed])
-                .join(keys, "image_id", "left_semi")
-                .where(F.col("run") == run_id)
-            )
-            # prior-runs-only semantics: victim rows stamped by THIS run
-            # survive the rewrite (mirrors delete_keys_from_prior_runs)
-            kept_rows = survivors.unionByName(own)
             kept_rows.write.mode("overwrite").parquet(rw_abs)
             adds = self._list_parquet(fs, rw_abs, rw_rel)
             v = self._commit(
@@ -443,3 +513,147 @@ class TxLogKeptSink:
         for rel in dead:
             fs.delete(self._abs(rel))
         return len(dead)
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        small_file_bytes: int | None = None,
+    ) -> int:
+        """Bin-pack small live files into ~``target_file_bytes`` ones
+        (Delta's OPTIMIZE / Iceberg's rewrite_data_files). Streaming
+        ingest commits one small file set per epoch; at warehouse scale
+        an un-compacted table's scan cost is dominated by file-open
+        overhead, so compaction is the maintenance operation that keeps
+        a long-lived table readable.
+
+        Content-preserving by construction: the new files hold exactly
+        the old files' rows (the ``run`` stamp is a column, so mixed-run
+        output files are fine) and ONE commit swaps old for new, OCC'd
+        on the snapshot the rewrite was derived from — a concurrent
+        delete rewriting the same files loses or wins atomically, never
+        both. Old files stay on disk for time travel until ``vacuum``.
+        The rewrite is a narrow ``coalesce`` job (no shuffle): executors
+        stream the small files into the packed ones.
+
+        Returns the number of files compacted away (0 = nothing to do).
+        """
+        import math
+
+        fs = self._fs(spark)
+        if small_file_bytes is None:
+            small_file_bytes = target_file_bytes // 2
+        for _ in range(MAX_COMMIT_ATTEMPTS):
+            live, _, base_version, schema = self._state(spark)
+            if not base_version or not live:
+                return 0
+            sizes = {p: fs.size(self._abs(p)) for p in live}
+            small = sorted(p for p in live if sizes[p] < small_file_bytes)
+            total = sum(sizes[p] for p in small)
+            n_out = max(1, math.ceil(total / target_file_bytes))
+            if len(small) <= n_out:
+                return 0  # packing would not reduce the file count
+            rel = f"data/opt-{uuid.uuid4().hex[:8]}"
+            abs_dir = self._abs(rel)
+            spark.read.parquet(*[self._abs(p) for p in small]).coalesce(
+                n_out
+            ).write.mode("overwrite").parquet(abs_dir)
+            v = self._commit(
+                spark,
+                {
+                    "op": "optimize",
+                    "run_id": "optimize",
+                    "remove": small,
+                    "add": self._list_parquet(fs, abs_dir, rel),
+                    "schema": schema,
+                    "settings": self.settings,
+                },
+                base_version=base_version,
+            )
+            if v is not None:
+                return len(small)
+            fs.delete(abs_dir)  # stale snapshot: discard and re-derive
+        raise OSError(
+            f"txlog optimize lost {MAX_COMMIT_ATTEMPTS} snapshot races"
+        )
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int = 0,
+        to_version: int | None = None,
+    ) -> DataFrame | None:
+        """Row-level changes committed AFTER ``from_version`` up to and
+        including ``to_version`` (latest when None) — the incremental-
+        consumer contract (Delta's Change Data Feed / Iceberg's
+        incremental scan): table columns plus ``_change_type``
+        ('insert' | 'delete') and ``_commit_version``. Exact multiset
+        semantics — for every version v,
+
+            rows(v) == rows(v-1) ⊎ inserts(v) ∖ deletes(v)
+
+        so a downstream consumer replaying the feed reconstructs each
+        snapshot without rescanning the table (the property the model
+        test pins). Per commit only the files THAT COMMIT touched are
+        read, and the live-set replay is carried forward incrementally —
+        O(changed files), never O(table) or O(versions²).
+
+        - write: inserts = the appended files' rows; a RETRIED run also
+          emits deletes for its superseded prior rows (both the
+          wholesale-superseded files and its rows purged out of rewrite
+          files) — re-delivery made explicit, exactly once per retry.
+        - delete: deletes = removed rows minus rewritten-survivor rows
+          (multiset difference via ``exceptAll``).
+        - optimize: no logical change, nothing emitted.
+
+        Requires the range's files to still exist: ``vacuum`` ends
+        change feeds over the versions it reclaims, same as time travel.
+        Returns None when the range holds no changes."""
+        from functools import reduce
+
+        live, _, _, _ = self._state(spark, from_version)
+
+        def rows(rels: list[str]) -> DataFrame:
+            return spark.read.parquet(*[self._abs(r) for r in rels])
+
+        def tag(df: DataFrame, change: str, version: int) -> DataFrame:
+            return df.withColumn("_change_type", F.lit(change)).withColumn(
+                "_commit_version", F.lit(version)
+            )
+
+        frames: list[DataFrame] = []
+        for e in self._entries(spark, after=from_version):
+            v = e["version"]
+            if to_version is not None and v > to_version:
+                break
+            adds = e.get("add", [])
+            removed = e.get("remove", [])
+            if e["op"] == "write":
+                rid = e["run_id"]
+                appended = e.get("appended")
+                if appended is None:  # pre-feed log entries: by layout
+                    appended = [
+                        p for p in adds if not p.startswith("data/purge-")
+                    ]
+                superseded = [
+                    p for p, t in live.items() if t == ("write", rid)
+                ]
+                if appended:
+                    frames.append(tag(rows(appended), "insert", v))
+                if superseded:
+                    frames.append(tag(rows(superseded), "delete", v))
+                if removed:
+                    frames.append(
+                        tag(
+                            rows(removed).where(F.col("run") == rid),
+                            "delete",
+                            v,
+                        )
+                    )
+            elif e["op"] == "delete":
+                deletes = rows(removed).exceptAll(rows(adds))
+                frames.append(tag(deletes, "delete", v))
+            self._apply(live, e)
+        if not frames:
+            return None
+        return reduce(lambda a, b: a.unionByName(b), frames)

@@ -41,6 +41,14 @@ def main() -> None:
                     help="request a pause at the next phase boundary and exit")
     ap.add_argument("--unpause", action="store_true",
                     help="clear a pause request and exit")
+    ap.add_argument("--optimize", action="store_true",
+                    help="maintenance: bin-pack the txlog kept store's "
+                         "small files into ~target-file-mb ones and exit")
+    ap.add_argument("--vacuum", action="store_true",
+                    help="maintenance: reclaim txlog data files dead at "
+                         "the latest version (ends time travel) and exit")
+    ap.add_argument("--target-file-mb", type=int, default=128,
+                    help="--optimize packing target per output file")
     ap.add_argument("--arrow-batch-rows", type=int, default=2048)
     ap.add_argument("--sink", choices=["parquet", "partitioned-retry", "txlog"],
                     default="parquet",
@@ -63,8 +71,26 @@ def main() -> None:
     from gobulk_spark import lineage
     from gobulk_spark.config import PipelineConfig
 
-    if not (args.pause or args.unpause) and not args.source:
-        ap.error("--source is required unless --pause/--unpause")
+    maintenance = args.pause or args.unpause or args.optimize or args.vacuum
+    if not maintenance and not args.source:
+        ap.error(
+            "--source is required unless --pause/--unpause/--optimize/--vacuum"
+        )
+
+    if args.optimize or args.vacuum:
+        from gobulk_spark.txlog import TxLogKeptSink
+
+        tx = TxLogKeptSink(args.out)
+        out = {"out": args.out}
+        if args.optimize:
+            out["compacted_files"] = tx.optimize(
+                spark, target_file_bytes=args.target_file_mb << 20
+            )
+        if args.vacuum:
+            out["vacuumed_files"] = tx.vacuum(spark)
+        print(json.dumps(out))
+        spark.stop()
+        return
 
     if args.pause or args.unpause:
         (lineage.request_pause if args.pause else lineage.clear_pause)(args.out, spark)

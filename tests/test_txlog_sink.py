@@ -450,3 +450,172 @@ def test_txlog_random_op_sequences_match_model(spark, ops):
         )
         assert got == expect, f"time travel to v{v}"
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_retried_run_after_partial_rewrite_does_not_duplicate_rows(spark):
+    """Regression (round-5 review #2): r1 writes {a,b}; a delete
+    removes ONLY a, so b's surviving row moves into a rewrite file
+    tagged by the deleting run; r1 then re-runs. The write-supersede
+    rule cannot touch the rewrite file, so the retry must PURGE its
+    rows from it in the same commit — otherwise b appears twice."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "dup"))
+    # ONE file holding both rows: the delete must drag b's surviving
+    # row into its rewrite file for the regression to be reachable
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("b", "x", 2)], "image_id string, lang string, v int"
+    ).coalesce(1)
+    sink.write(df, "r1")  # v1
+    sink.delete(spark, "rdel", spark.createDataFrame([("a",)], "image_id string"))
+    sink.write(df, "r1")  # retried run re-lands {a,b}
+    rows = sink.read(spark).collect()
+    assert sorted((r["image_id"], r["run"]) for r in rows) == [
+        ("a", "r1"),
+        ("b", "r1"),
+    ]  # COUNT matters: the old replay produced b twice
+    # history still replays: v1 = {a,b}, v2 = {b}
+    assert sorted(r["image_id"] for r in sink.read(spark, version=1).collect()) == [
+        "a",
+        "b",
+    ]
+    assert [r["image_id"] for r in sink.read(spark, version=2).collect()] == ["b"]
+    # the purging write records the rewrite-file swap in its own entry
+    last = sink.history(spark)[-1]
+    assert last["op"] == "write" and last["remove"]
+
+
+def test_optimize_compacts_small_files(spark):
+    """OPTIMIZE bin-packs the per-epoch small files into few large
+    ones in one content-preserving commit; time travel still reads the
+    pre-compaction layout; a packed table is a no-op."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "opt"))
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(f"id{i}-{j}", "x", i * 10 + j) for j in range(4)],
+            "image_id string, lang string, v int",
+        ).repartition(2)
+        sink.write(df, f"r{i}")
+    live_before = sink._state(spark)[0]
+    assert len(live_before) == 8
+    before = _kept_frame(sink, spark)
+    n = sink.optimize(spark, target_file_bytes=1 << 30)
+    assert n == 8
+    live_after = sink._state(spark)[0]
+    assert len(live_after) == 1
+    assert all(tag == ("optimize", "optimize") for tag in live_after.values())
+    pd.testing.assert_frame_equal(before, _kept_frame(sink, spark))
+    last = sink.history(spark)[-1]
+    assert last["op"] == "optimize" and len(last["remove"]) == 8
+    pre = sink.read(spark, version=last["version"] - 1)
+    assert sorted(r["image_id"] for r in pre.collect()) == sorted(
+        before["image_id"]
+    )
+    # already packed: nothing to do
+    assert sink.optimize(spark, target_file_bytes=1 << 30) == 0
+
+
+def test_retried_run_after_optimize_does_not_duplicate_rows(spark):
+    """Compaction mixes runs into shared files the write-supersede
+    replay rule cannot touch — a later retry of a compacted run must
+    purge its rows out of the packed file (the generalized
+    tag != 'write' purge), or the retry duplicates them."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "optdup"))
+    df1 = spark.createDataFrame(
+        [("a", "x", 1)], "image_id string, lang string, v int"
+    )
+    df2 = spark.createDataFrame(
+        [("b", "x", 2)], "image_id string, lang string, v int"
+    )
+    sink.write(df1, "r1")
+    sink.write(df2, "r2")
+    assert sink.optimize(spark, target_file_bytes=1 << 30) >= 2
+    sink.write(df1, "r1")  # retried run: its row now lives in the opt file
+    rows = sink.read(spark).collect()
+    assert sorted((r["image_id"], r["run"]) for r in rows) == [
+        ("a", "r1"),
+        ("b", "r2"),
+    ]
+    last = sink.history(spark)[-1]
+    assert last["op"] == "write" and last["remove"]
+
+
+def _feed_script(spark, sink):
+    """write r1{a,b} / write r2{c} / delete a / optimize / retry r1."""
+    df1 = spark.createDataFrame(
+        [("a", "x", 1), ("b", "x", 2)], "image_id string, lang string, v int"
+    ).coalesce(1)
+    df2 = spark.createDataFrame(
+        [("c", "y", 3)], "image_id string, lang string, v int"
+    )
+    sink.write(df1, "r1")  # v1
+    sink.write(df2, "r2")  # v2
+    sink.delete(
+        spark, "rdel", spark.createDataFrame([("a",)], "image_id string")
+    )  # v3
+    assert sink.optimize(spark, target_file_bytes=1 << 30) >= 2  # v4
+    sink.write(df1, "r1")  # v5: retry after compaction
+
+
+def test_read_changes_incremental_feed(spark):
+    """The change feed carries exactly the per-commit inserts/deletes:
+    appends as inserts, MERGE deletes as deletes, optimize as silence,
+    and a retried run as explicit delete-then-insert re-delivery."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "cdf"))
+    _feed_script(spark, sink)
+    feed = sink.read_changes(spark)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["image_id"])
+        for r in feed.collect()
+    )
+    assert got == [
+        (1, "insert", "a"),
+        (1, "insert", "b"),
+        (2, "insert", "c"),
+        (3, "delete", "a"),
+        (5, "delete", "b"),  # r1's pre-retry survivor, purged from opt
+        (5, "insert", "a"),
+        (5, "insert", "b"),
+    ]
+    # a bounded window sees only its commits; an empty window is None
+    win = sink.read_changes(spark, from_version=1, to_version=3)
+    assert sorted(
+        (r["_commit_version"], r["_change_type"], r["image_id"])
+        for r in win.collect()
+    ) == [(2, "insert", "c"), (3, "delete", "a")]
+    assert sink.read_changes(spark, from_version=4, to_version=4) is None
+
+
+def test_change_feed_reconstructs_every_snapshot(spark):
+    """Exact multiset property: rows(v) == rows(v-1) ⊎ inserts(v) ∖
+    deletes(v) for every commit — a consumer replaying the feed
+    reconstructs each snapshot without rescanning the table."""
+    from collections import Counter
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "cdfprop"))
+    _feed_script(spark, sink)
+    cols = ["image_id", "lang", "v", "run"]
+
+    def snap(v):
+        df = sink.read(spark, version=v) if v else None
+        if df is None:
+            return Counter()
+        return Counter(tuple(r[c] for c in cols) for r in df.collect())
+
+    last = sink.history(spark)[-1]["version"]
+    for v in range(1, last + 1):
+        feed = sink.read_changes(spark, from_version=v - 1, to_version=v)
+        state = snap(v - 1)
+        if feed is not None:
+            for r in feed.collect():
+                key = tuple(r[c] for c in cols)
+                if r["_change_type"] == "insert":
+                    state[key] += 1
+                else:
+                    state[key] -= 1
+    # drop zero-count residue before comparing
+        state = Counter({k: n for k, n in state.items() if n})
+        assert state == snap(v), f"feed does not reconstruct v{v}"
