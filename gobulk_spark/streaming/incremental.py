@@ -362,6 +362,15 @@ def _process_microbatch(
         fs = Fs(spark, out)
         for d in consumed:
             fs.delete(_join(_retry_root(out), d))
+    # post-epoch maintenance (sinks that support it): per-epoch commits
+    # fragment a table-format store into one small file set per epoch —
+    # the sink compacts when its live-file count crosses its threshold,
+    # so the stream stays scannable without an external OPTIMIZE cron.
+    # After the marker flip: compaction must never run inside the
+    # epoch's commit window (it is content-preserving, but a crash
+    # mid-rewrite should leave a committed epoch, not a torn one)
+    if hasattr(sink, "maintain"):
+        sink.maintain(spark)
     if persisted:
         _cached.unpersist()
     if staged:

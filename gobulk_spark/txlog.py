@@ -73,18 +73,29 @@ CHECKPOINT_EVERY = 10
 class TxLogKeptSink:
     """Kept-store sink over the transaction log (see module doc)."""
 
-    def __init__(self, out_dir: str, settings: dict | None = None):
+    def __init__(
+        self,
+        out_dir: str,
+        settings: dict | None = None,
+        auto_compact_files: int | None = 64,
+    ):
         """``settings``: optional store-level properties (the analogue
         of ES index settings, resolved via
         storeconfig.resolve_store_configs when base configs are in
         play). Recorded in every commit; a later run declaring
         DIFFERENT settings is rejected at validate, same as a schema
-        drift."""
+        drift.
+
+        ``auto_compact_files``: live-file count above which the
+        ``maintain`` hook (called by streaming after each committed
+        epoch) triggers ``optimize`` — per-epoch commits are exactly
+        the workload that fragments a table. None disables."""
         self.out_dir = out_dir
         self.root = lineage._join(out_dir, "kept_tx")
         self.log_dir = lineage._join(self.root, "_txlog")
         self.data_dir = lineage._join(self.root, "data")
         self.settings = settings or {}
+        self.auto_compact_files = auto_compact_files
 
     # -- log primitives ----------------------------------------------------
 
@@ -576,6 +587,21 @@ class TxLogKeptSink:
         raise OSError(
             f"txlog optimize lost {MAX_COMMIT_ATTEMPTS} snapshot races"
         )
+
+    def maintain(self, spark: SparkSession) -> dict:
+        """Post-epoch maintenance hook: compact once the live-file
+        count crosses ``auto_compact_files``. Streaming calls this
+        after every committed epoch; the cheap path (a checkpointed log
+        replay, no data files touched) is what every un-fragmented
+        epoch pays. Threshold-gated so a long-lived stream amortizes
+        one rewrite over ~``auto_compact_files`` epochs instead of
+        rewriting the table's tail every epoch."""
+        if self.auto_compact_files is None:
+            return {"compacted_files": 0}
+        live, _, base_version, _ = self._state(spark)
+        if not base_version or len(live) <= self.auto_compact_files:
+            return {"compacted_files": 0}
+        return {"compacted_files": self.optimize(spark)}
 
     def read_changes(
         self,

@@ -619,3 +619,36 @@ def test_change_feed_reconstructs_every_snapshot(spark):
     # drop zero-count residue before comparing
         state = Counter({k: n for k, n in state.items() if n})
         assert state == snap(v), f"feed does not reconstruct v{v}"
+
+
+def test_streaming_auto_compaction_keeps_file_count_bounded(spark):
+    """A multi-epoch stream into the txlog sink self-compacts via the
+    post-epoch maintain hook: per-epoch commits fragment the store,
+    and once the live-file count crosses the sink's threshold an
+    optimize commit packs it — no external maintenance job, rows and
+    incremental semantics untouched."""
+    from gobulk_spark.corpus import generate_pairs
+    from gobulk_spark.streaming.incremental import run_streaming_ingest
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    src_dir = os.path.join(BASE, "ac_src")
+    out = os.path.join(BASE, "ac_out")
+    os.makedirs(src_dir, exist_ok=True)
+    pairs, _ = generate_pairs(120, seed=11)
+    for i in range(4):
+        pq.write_table(
+            pairs.slice(i * 30, 30), os.path.join(src_dir, f"part-{i:03d}.parquet")
+        )
+    sink = TxLogKeptSink(out, auto_compact_files=3)
+    cfg = PipelineConfig(source_path=src_dir, out_dir=out, run_id="ac")
+    # one file per trigger => four epochs, each committing its own files
+    run_streaming_ingest(spark, cfg, src_dir, max_files_per_trigger=1, sink=sink)
+    hist = sink.history(spark)
+    opts = [e for e in hist if e["op"] == "optimize"]
+    assert opts, "stream never auto-compacted"
+    live = sink._state(spark)[0]
+    assert len(live) <= 3 + 2  # threshold + at most one uncompacted epoch
+    # every kept row exactly once, same as an uncompacted run would hold
+    kept = sink.read(spark)
+    assert kept.count() == kept.select("image_id").distinct().count()
+    assert kept.count() > 0
