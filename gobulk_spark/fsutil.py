@@ -60,6 +60,18 @@ class Fs:
             return 0
         return int(self._fs.getFileStatus(p).getLen())
 
+    def listdir_sizes(self, path: str) -> dict[str, int]:
+        """Child basename -> byte length, from ONE listStatus call
+        ({} if the directory does not exist) — callers that need both
+        names and sizes must not pay a per-file getFileStatus RPC."""
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return {}
+        return {
+            st.getPath().getName(): int(st.getLen())
+            for st in self._fs.listStatus(p)
+        }
+
     def mtime(self, path: str) -> float:
         """Modification time in epoch seconds (0.0 if absent)."""
         p = self._p(path)

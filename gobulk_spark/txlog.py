@@ -150,7 +150,12 @@ class TxLogKeptSink:
                     lineage._join(self.log_dir, f"{base:020d}.checkpoint.json")
                 )
             )
-            live = {p: tuple(tag) for p, tag in cp["live"].items()}
+            # tolerate pre-size checkpoints: (op, run_id) pads to
+            # (op, run_id, None) — unknown size, resolved lazily
+            live = {
+                p: tuple(tag) + (None,) * (3 - len(tag))
+                for p, tag in cp["live"].items()
+            }
             ever = set(cp["ever"])
             schema = cp["schema"]
         last = base
@@ -164,16 +169,22 @@ class TxLogKeptSink:
         return live, ever, last, schema
 
     @staticmethod
-    def _apply(live: dict[str, tuple[str, str]], e: dict) -> None:
+    def _apply(live: dict[str, tuple[str, str, int | None]], e: dict) -> None:
         if e["op"] == "write":
             for p in [
-                p for p, tag in live.items() if tag == ("write", e["run_id"])
+                p
+                for p, tag in live.items()
+                if tag[:2] == ("write", e["run_id"])
             ]:
                 live.pop(p)
         for p in e.get("remove", ()):
             live.pop(p, None)
+        # file byte length is table metadata (Delta's add.size): carried
+        # in the live tag so optimize/maintain size decisions never pay
+        # per-file FS calls; None = legacy entry, resolved lazily
+        sizes = e.get("add_bytes", {})
         for p in e.get("add", ()):
-            live[p] = (e["op"], e["run_id"])
+            live[p] = (e["op"], e["run_id"], sizes.get(p))
 
     def _maybe_checkpoint(self, spark: SparkSession, version: int) -> None:
         if version % CHECKPOINT_EVERY != 0:
@@ -241,6 +252,16 @@ class TxLogKeptSink:
             for n in fs.listdir(d)
             if n.endswith(".parquet")
         ]
+
+    def _dir_files(self, fs: Fs, d: str, rel_prefix: str) -> dict[str, int]:
+        """rel path -> byte length for a landed directory's parquet
+        files, from one listing call — the ``add``/``add_bytes`` pair
+        every commit records."""
+        return {
+            f"{rel_prefix}/{n}": b
+            for n, b in fs.listdir_sizes(d).items()
+            if n.endswith(".parquet")
+        }
 
     # -- KeptSink seam -----------------------------------------------------
 
@@ -358,8 +379,8 @@ class TxLogKeptSink:
             fs.delete(abs_dir)
             out.write.mode("overwrite").parquet(abs_dir)
             staged.append(abs_dir)
-            adds = self._list_parquet(fs, abs_dir, rel_dir)
-            appended = list(adds)
+            add_map = self._dir_files(fs, abs_dir, rel_dir)
+            appended = sorted(add_map)
             # a RETRIED run's surviving rows can also live in files this
             # run's write entries never added — delete-rewrite files
             # (tagged ('delete', <other run>)) and compaction output
@@ -400,13 +421,14 @@ class TxLogKeptSink:
                         "overwrite"
                     ).parquet(purge_abs)
                     staged.append(purge_abs)
-                    adds = adds + self._list_parquet(fs, purge_abs, purge_rel)
+                    add_map.update(self._dir_files(fs, purge_abs, purge_rel))
             v = self._commit(
                 spark,
                 {
                     "op": "write",
                     "run_id": run_id,
-                    "add": adds,
+                    "add": sorted(add_map),
+                    "add_bytes": add_map,
                     # the APPEND subset of add (run-dir files, not purge
                     # rewrites) — read_changes derives inserts from it
                     "appended": appended,
@@ -481,7 +503,7 @@ class TxLogKeptSink:
                 .drop("_victim")
             )
             kept_rows.write.mode("overwrite").parquet(rw_abs)
-            adds = self._list_parquet(fs, rw_abs, rw_rel)
+            add_map = self._dir_files(fs, rw_abs, rw_rel)
             v = self._commit(
                 spark,
                 {
@@ -489,7 +511,8 @@ class TxLogKeptSink:
                     "settings": self.settings,
                     "run_id": run_id,
                     "remove": removed,
-                    "add": adds,
+                    "add": sorted(add_map),
+                    "add_bytes": add_map,
                     "schema": last_schema,
                 },
                 base_version=base_version,
@@ -558,7 +581,13 @@ class TxLogKeptSink:
             live, _, base_version, schema = self._state(spark)
             if not base_version or not live:
                 return 0
-            sizes = {p: fs.size(self._abs(p)) for p in live}
+            # sizes come from the LOG (add_bytes rides every commit,
+            # Delta's add.size) — the FS is consulted only for files
+            # added by pre-size log entries
+            sizes = {
+                p: tag[2] if tag[2] is not None else fs.size(self._abs(p))
+                for p, tag in live.items()
+            }
             small = sorted(p for p in live if sizes[p] < small_file_bytes)
             total = sum(sizes[p] for p in small)
             n_out = max(1, math.ceil(total / target_file_bytes))
@@ -569,13 +598,15 @@ class TxLogKeptSink:
             spark.read.parquet(*[self._abs(p) for p in small]).coalesce(
                 n_out
             ).write.mode("overwrite").parquet(abs_dir)
+            add_map = self._dir_files(fs, abs_dir, rel)
             v = self._commit(
                 spark,
                 {
                     "op": "optimize",
                     "run_id": "optimize",
                     "remove": small,
-                    "add": self._list_parquet(fs, abs_dir, rel),
+                    "add": sorted(add_map),
+                    "add_bytes": add_map,
                     "schema": schema,
                     "settings": self.settings,
                 },
@@ -662,7 +693,7 @@ class TxLogKeptSink:
                         p for p in adds if not p.startswith("data/purge-")
                     ]
                 superseded = [
-                    p for p, t in live.items() if t == ("write", rid)
+                    p for p, t in live.items() if t[:2] == ("write", rid)
                 ]
                 if appended:
                     frames.append(tag(rows(appended), "insert", v))

@@ -503,7 +503,11 @@ def test_optimize_compacts_small_files(spark):
     assert n == 8
     live_after = sink._state(spark)[0]
     assert len(live_after) == 1
-    assert all(tag == ("optimize", "optimize") for tag in live_after.values())
+    assert all(
+        tag[:2] == ("optimize", "optimize") for tag in live_after.values()
+    )
+    # every live file's byte length is log metadata (no FS probes)
+    assert all(isinstance(tag[2], int) for tag in live_after.values())
     pd.testing.assert_frame_equal(before, _kept_frame(sink, spark))
     last = sink.history(spark)[-1]
     assert last["op"] == "optimize" and len(last["remove"]) == 8
