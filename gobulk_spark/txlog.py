@@ -30,7 +30,12 @@ spec's snapshot/manifest model), sized to this engine's needs:
   streaming-ingested table scannable;
 - change feed: ``read_changes`` emits exact row-level
   inserts/deletes between versions (Delta CDF / Iceberg incremental
-  scan) so downstream consumers never rescan the table.
+  scan) so downstream consumers never rescan the table;
+- additive schema evolution (opt-in ``merge_schema``): new columns
+  widen the table's recorded schema; every read — including the
+  delete/purge/compaction rewrites — projects files to the LOG
+  schema, so pre-evolution rows read as NULL and rewrites never
+  drop a newer column by inferring schema from an old file's footer.
 
 It plugs into the engine through the same ``KeptSink`` seam as every
 other backend (sinks.py), so the full pipeline — phases, lineage,
@@ -78,6 +83,7 @@ class TxLogKeptSink:
         out_dir: str,
         settings: dict | None = None,
         auto_compact_files: int | None = 64,
+        merge_schema: bool = False,
     ):
         """``settings``: optional store-level properties (the analogue
         of ES index settings, resolved via
@@ -96,6 +102,12 @@ class TxLogKeptSink:
         self.data_dir = lineage._join(self.root, "data")
         self.settings = settings or {}
         self.auto_compact_files = auto_compact_files
+        # opt-in additive schema evolution (Delta's mergeSchema): a
+        # run declaring NEW columns widens the table; reads project
+        # every file to the log schema, so pre-evolution rows carry
+        # NULL in the new columns. Narrowing or re-typing is always
+        # rejected.
+        self.merge_schema = merge_schema
 
     # -- log primitives ----------------------------------------------------
 
@@ -246,6 +258,19 @@ class TxLogKeptSink:
     def _abs(self, rel: str) -> str:
         return lineage._join(self.root, rel)
 
+    def _read_files(
+        self, spark: SparkSession, rels, schema_ddl: str | None = None
+    ) -> DataFrame:
+        """Read data files PROJECTED TO THE LOG SCHEMA. After additive
+        evolution a file set spans schema eras; a footer-inferred read
+        takes one file's schema and silently drops newer columns from
+        wider rows — fatal inside the delete/purge/compaction rewrites,
+        which persist what they read. Projecting to the recorded schema
+        (Delta/Iceberg read semantics: schema from the log, never from
+        footers) makes pre-evolution rows carry NULL instead."""
+        reader = spark.read.schema(schema_ddl) if schema_ddl else spark.read
+        return reader.parquet(*[self._abs(r) for r in rels])
+
     def _list_parquet(self, fs: Fs, d: str, rel_prefix: str) -> list[str]:
         return [
             f"{rel_prefix}/{n}"
@@ -275,11 +300,23 @@ class TxLogKeptSink:
         declared = _ddl_to_fields(spark, schema_ddl)
         declared["run"] = "string"  # physical column this layout stamps
         live = _ddl_to_fields(spark, schema)
-        diff = _diff_schema(declared, live)
+        # additive evolution: columns only THIS run declares are new —
+        # legal iff merge_schema opted in (the next commit's recorded
+        # schema widens the table; old files read as NULL there).
+        # Everything else (narrowing, re-typing) stays a hard error.
+        new_cols = {n: t for n, t in declared.items() if n not in live}
+        known = {n: t for n, t in declared.items() if n in live}
+        diff = _diff_schema(known, live)
         if diff:
             raise SinkSchemaMismatch(
                 f"txlog store at {self.root} does not match the declared "
                 f"schema: {diff}"
+            )
+        if new_cols and not self.merge_schema:
+            raise SinkSchemaMismatch(
+                f"txlog store at {self.root}: declared schema adds "
+                f"columns {sorted(new_cols)}; additive evolution "
+                "requires merge_schema=True"
             )
         # store settings are commit metadata exactly like the schema:
         # a run declaring different settings against a live store is a
@@ -360,7 +397,7 @@ class TxLogKeptSink:
             for d in staged:  # prior attempt's landing, superseded by retry
                 fs.delete(d)
             staged = []
-            live, ever, base_version, _ = self._state(spark)
+            live, ever, base_version, log_schema = self._state(spark)
             base_rel = f"data/run-{run_id}"
             # per-run overwrite contract: replace this run's own torn,
             # UNCOMMITTED earlier attempt — but a dir ANY commit has
@@ -392,7 +429,7 @@ class TxLogKeptSink:
             rw_live = [p for p, tag in live.items() if tag[0] != "write"]
             if rw_live:
                 rw_paths = {self._abs(p): p for p in rw_live}
-                rw = spark.read.parquet(*rw_paths).withColumn(
+                rw = self._read_files(spark, rw_live, log_schema).withColumn(
                     "_f", F.input_file_name()
                 )
                 hit_abs = [
@@ -415,11 +452,9 @@ class TxLogKeptSink:
                     )
                     purge_rel = f"data/purge-{run_id}-{uuid.uuid4().hex[:8]}"
                     purge_abs = self._abs(purge_rel)
-                    spark.read.parquet(
-                        *[self._abs(r) for r in removed]
-                    ).where(F.col("run") != run_id).write.mode(
-                        "overwrite"
-                    ).parquet(purge_abs)
+                    self._read_files(spark, removed, log_schema).where(
+                        F.col("run") != run_id
+                    ).write.mode("overwrite").parquet(purge_abs)
                     staged.append(purge_abs)
                     add_map.update(self._dir_files(fs, purge_abs, purge_rel))
             v = self._commit(
@@ -459,7 +494,7 @@ class TxLogKeptSink:
             if not base_version or not snap:
                 return
             paths = {self._abs(p): p for p in snap}
-            live = spark.read.parquet(*paths).withColumn(
+            live = self._read_files(spark, list(snap), last_schema).withColumn(
                 "_f", F.input_file_name()
             )
             affected_abs = [
@@ -497,7 +532,7 @@ class TxLogKeptSink:
             # that scanned every affected file twice
             marked = keys.withColumn("_victim", F.lit(True))
             kept_rows = (
-                spark.read.parquet(*[self._abs(r) for r in removed])
+                self._read_files(spark, removed, last_schema)
                 .join(marked, "image_id", "left")
                 .where(F.col("_victim").isNull() | (F.col("run") == run_id))
                 .drop("_victim")
@@ -525,10 +560,10 @@ class TxLogKeptSink:
     def read(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame | None:
-        snap, _, _, _ = self._state(spark, version)
+        snap, _, _, schema = self._state(spark, version)
         if not snap:
             return None
-        return spark.read.parquet(*[self._abs(p) for p in snap])
+        return self._read_files(spark, snap, schema)
 
     # -- table-format extras ----------------------------------------------
 
@@ -595,9 +630,9 @@ class TxLogKeptSink:
                 return 0  # packing would not reduce the file count
             rel = f"data/opt-{uuid.uuid4().hex[:8]}"
             abs_dir = self._abs(rel)
-            spark.read.parquet(*[self._abs(p) for p in small]).coalesce(
-                n_out
-            ).write.mode("overwrite").parquet(abs_dir)
+            self._read_files(spark, small, schema).coalesce(n_out).write.mode(
+                "overwrite"
+            ).parquet(abs_dir)
             add_map = self._dir_files(fs, abs_dir, rel)
             v = self._commit(
                 spark,
@@ -670,9 +705,6 @@ class TxLogKeptSink:
 
         live, _, _, _ = self._state(spark, from_version)
 
-        def rows(rels: list[str]) -> DataFrame:
-            return spark.read.parquet(*[self._abs(r) for r in rels])
-
         def tag(df: DataFrame, change: str, version: int) -> DataFrame:
             return df.withColumn("_change_type", F.lit(change)).withColumn(
                 "_commit_version", F.lit(version)
@@ -685,6 +717,11 @@ class TxLogKeptSink:
                 break
             adds = e.get("add", [])
             removed = e.get("remove", [])
+
+            def rows(rels: list[str], _schema=e["schema"]) -> DataFrame:
+                # the commit's own recorded schema: after additive
+                # evolution a commit can touch older-era files
+                return self._read_files(spark, rels, _schema)
             if e["op"] == "write":
                 rid = e["run_id"]
                 appended = e.get("appended")
@@ -713,4 +750,8 @@ class TxLogKeptSink:
             self._apply(live, e)
         if not frames:
             return None
-        return reduce(lambda a, b: a.unionByName(b), frames)
+        # allowMissingColumns: frames straddling an additive-evolution
+        # commit differ by the new columns (older frames read NULL)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )

@@ -656,3 +656,52 @@ def test_streaming_auto_compaction_keeps_file_count_bounded(spark):
     kept = sink.read(spark)
     assert kept.count() == kept.select("image_id").distinct().count()
     assert kept.count() > 0
+
+
+def test_additive_schema_evolution_widens_reads_and_rewrites(spark):
+    """Opt-in merge_schema: a run declaring NEW columns widens the
+    table (old rows read NULL there); narrowing/re-typing stay hard
+    errors; and the MERGE delete rewrite spanning schema eras keeps
+    the wide schema — a footer-inferred read would silently drop the
+    new column from the rewritten survivors."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "evo"), merge_schema=True)
+    ddl3 = "image_id string, lang string, v int"
+    ddl4 = ddl3 + ", score double"
+    df3 = spark.createDataFrame(
+        [("a", "x", 1), ("b", "x", 2)], ddl3
+    ).coalesce(1)
+    sink.write(df3, "r1")
+    # a locked-down sink rejects the widened declaration
+    strict = TxLogKeptSink(os.path.join(BASE, "evo"))
+    with pytest.raises(SinkSchemaMismatch, match="merge_schema"):
+        strict.validate(spark, ddl4)
+    sink.validate(spark, ddl4)
+    sink.write(spark.createDataFrame([("c", "y", 3, 0.5)], ddl4), "r2")
+    got = {r["image_id"]: r for r in sink.read(spark).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"]["score"] is None and got["c"]["score"] == 0.5
+    # time travel into the narrow era stays narrow
+    assert "score" not in sink.read(spark, version=1).columns
+    # narrowing and re-typing are rejected even with merge_schema on
+    with pytest.raises(SinkSchemaMismatch, match="unexpected column"):
+        sink.validate(spark, "image_id string, lang string")
+    with pytest.raises(SinkSchemaMismatch, match="type mismatch"):
+        sink.validate(
+            spark, "image_id string, lang string, v string, score double"
+        )
+    # delete a victim that shares a NARROW file with a survivor
+    sink.delete(
+        spark, "rdel", spark.createDataFrame([("a",)], "image_id string")
+    )
+    got2 = {r["image_id"]: r for r in sink.read(spark).collect()}
+    assert set(got2) == {"b", "c"}
+    assert got2["b"]["score"] is None and got2["c"]["score"] == 0.5
+    # the change feed straddles the evolution commit without tearing
+    feed = sink.read_changes(spark)
+    events = {
+        (r["_commit_version"], r["_change_type"], r["image_id"])
+        for r in feed.collect()
+    }
+    assert {(1, "insert", "a"), (1, "insert", "b"), (2, "insert", "c")} <= events
+    assert ("delete", "a") in {(c, i) for _, c, i in events}
