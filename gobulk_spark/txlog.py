@@ -389,15 +389,36 @@ class TxLogKeptSink:
         spark = df.sparkSession
         fs = self._fs(spark)
         out = df.withColumn("run", F.lit(run_id))
-        schema_ddl = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in out.schema.fields
-        )
+        df_fields = {
+            f.name: f.dataType.simpleString() for f in out.schema.fields
+        }
         staged: list[str] = []
         for _ in range(MAX_COMMIT_ATTEMPTS):
             for d in staged:  # prior attempt's landing, superseded by retry
                 fs.delete(d)
             staged = []
             live, ever, base_version, log_schema = self._state(spark)
+            # the recorded schema is the UNION of every write's fields
+            # (Delta semantics): a write narrower than the table must
+            # not shrink the recorded schema — projected reads would
+            # silently drop the wide columns from every older row. Its
+            # rows just read NULL in the columns it omits. Re-typing is
+            # refused here too, so direct API writes (which skip the
+            # pipeline's validate gate) cannot corrupt the log schema.
+            merged = (
+                {n: t for n, t in _ddl_to_fields(spark, log_schema).items()}
+                if log_schema
+                else {}
+            )
+            for n, t in df_fields.items():
+                if n in merged and merged[n] != t:
+                    raise SinkSchemaMismatch(
+                        f"txlog store at {self.root}: write of run "
+                        f"{run_id} re-types column {n} ({merged[n]} -> "
+                        f"{t})"
+                    )
+                merged.setdefault(n, t)
+            schema_ddl = ", ".join(f"{n} {t}" for n, t in merged.items())
             base_rel = f"data/run-{run_id}"
             # per-run overwrite contract: replace this run's own torn,
             # UNCOMMITTED earlier attempt — but a dir ANY commit has

@@ -705,3 +705,26 @@ def test_additive_schema_evolution_widens_reads_and_rewrites(spark):
     }
     assert {(1, "insert", "a"), (1, "insert", "b"), (2, "insert", "c")} <= events
     assert ("delete", "a") in {(c, i) for _, c, i in events}
+
+
+def test_narrow_write_does_not_shrink_recorded_schema(spark):
+    """The recorded schema is the union of every write's fields: a
+    write narrower than the table (direct API use, no validate gate)
+    must not shrink it — projected reads would drop the wide columns
+    from every older row. Re-typing is refused at the write."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "narrow"), merge_schema=True)
+    ddl3 = "image_id string, lang string, v int"
+    ddl4 = ddl3 + ", score double"
+    sink.write(spark.createDataFrame([("a", "x", 1, 0.9)], ddl4), "r1")
+    sink.write(spark.createDataFrame([("b", "y", 2)], ddl3), "r2")
+    got = {r["image_id"]: r for r in sink.read(spark).collect()}
+    assert got["a"]["score"] == 0.9  # survived the narrow write
+    assert got["b"]["score"] is None
+    with pytest.raises(SinkSchemaMismatch, match="re-types"):
+        sink.write(
+            spark.createDataFrame(
+                [("c", "z", "3")], "image_id string, lang string, v string"
+            ),
+            "r3",
+        )
