@@ -75,6 +75,45 @@ MAX_COMMIT_ATTEMPTS = 50
 CHECKPOINT_EVERY = 10
 
 
+def apply_changes_to_rollup(
+    prev: DataFrame | None, feed: DataFrame | None, keys: list[str]
+) -> DataFrame | None:
+    """Fold a change feed into a per-key row-count rollup — the
+    canonical incremental consumer of ``read_changes``: a downstream
+    aggregate stays current by shuffling ONLY the changed rows (one
+    groupBy over the feed window + a key-join against the running
+    state), never rescanning the table. At warehouse scale the feed
+    window is O(epoch), the table O(everything) — that ratio is the
+    whole point of the feed.
+
+    ``prev`` is the rollup as of the feed's from_version (None = empty,
+    schema ``keys..., n``); returns the updated rollup (groups folded
+    to zero rows are dropped)."""
+    if feed is None:
+        return prev
+    delta = feed.groupBy(*keys).agg(
+        F.sum(
+            F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias("_dn")
+    )
+    if prev is None:
+        merged = delta.select(*keys, F.col("_dn").alias("n"))
+    else:
+        merged = (
+            prev.join(delta, keys, "full_outer")
+            .select(
+                *keys,
+                (
+                    F.coalesce(F.col("n"), F.lit(0))
+                    + F.coalesce(F.col("_dn"), F.lit(0))
+                ).alias("n"),
+            )
+        )
+    return merged.where(F.col("n") != 0)
+
+
 class TxLogKeptSink:
     """Kept-store sink over the transaction log (see module doc)."""
 

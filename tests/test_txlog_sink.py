@@ -728,3 +728,29 @@ def test_narrow_write_does_not_shrink_recorded_schema(spark):
             ),
             "r3",
         )
+
+
+def test_rollup_maintained_from_change_feed_matches_recompute(spark):
+    """The incremental-consumer contract end-to-end: a per-lang count
+    rollup folded forward from each commit's feed window equals a full
+    recompute of the snapshot at every version — the downstream never
+    rescans the table."""
+    from gobulk_spark.txlog import apply_changes_to_rollup
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "rollup"))
+    _feed_script(spark, sink)
+    last = sink.history(spark)[-1]["version"]
+    rollup = None
+    for v in range(1, last + 1):
+        feed = sink.read_changes(spark, from_version=v - 1, to_version=v)
+        rollup = apply_changes_to_rollup(rollup, feed, ["lang"])
+        expect = sorted(
+            (r["lang"], r["n"])
+            for r in sink.read(spark, version=v)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        got = sorted((r["lang"], r["n"]) for r in rollup.collect())
+        assert got == expect, f"rollup diverged at v{v}"
