@@ -388,6 +388,11 @@ _op = st.one_of(
         st.sampled_from(_RUNS),
         st.lists(st.sampled_from(_IDS), min_size=1, max_size=3, unique=True),
     ),
+    st.tuples(
+        st.just("optimize"),
+        st.just(""),
+        st.just([]),
+    ),
 )
 
 
@@ -416,7 +421,12 @@ def test_txlog_random_op_sequences_match_model(spark, ops):
         )
 
     for kind, rid, ids in ops:
-        if kind == "write":
+        if kind == "optimize":
+            # content-preserving by contract: the model does not change
+            if sink.optimize(spark, target_file_bytes=1 << 30) == 0:
+                assert table() == set(model)
+                continue  # nothing to pack: no commit
+        elif kind == "write":
             df = spark.createDataFrame(
                 [(i, "x", 1) for i in ids], "image_id string, lang string, v int"
             )
@@ -449,6 +459,24 @@ def test_txlog_random_op_sequences_match_model(spark, ops):
             else {(r["image_id"], r["run"]) for r in df.collect()}
         )
         assert got == expect, f"time travel to v{v}"
+    # change-feed reconstruction: folding each commit window's feed
+    # forward reproduces the model state at EVERY commit — including
+    # across retried-run purges and compactions
+    from collections import Counter
+
+    state: Counter = Counter()
+    pv = 0
+    for v, expect in versions:
+        feed = sink.read_changes(spark, from_version=pv, to_version=v)
+        if feed is not None:
+            for r in feed.collect():
+                k = (r["image_id"], r["run"])
+                state[k] += 1 if r["_change_type"] == "insert" else -1
+        state = Counter({k: n for k, n in state.items() if n})
+        assert set(state) == expect and all(
+            n == 1 for n in state.values()
+        ), f"feed reconstruct v{v}"
+        pv = v
     shutil.rmtree(out, ignore_errors=True)
 
 
