@@ -74,6 +74,29 @@ MAX_COMMIT_ATTEMPTS = 50
 #: bound flagged in the module doc
 CHECKPOINT_EVERY = 10
 
+#: per-file column stats (Delta's add.stats / Iceberg's manifest
+#: lower_bounds/upper_bounds) are auto-collected for at most this many
+#: columns — Delta defaults to the first 32; the commit JSON stays
+#: O(files × stats columns)
+MAX_STATS_COLUMNS = 12
+
+#: Spark simpleString type names whose min/max order matches Python's
+#: (ints/floats numerically, strings/ISO-dates lexicographically) —
+#: the only types the skipping comparator is allowed to reason about
+_STATS_TYPES = {
+    "tinyint", "smallint", "int", "bigint",
+    "float", "double", "boolean", "string", "date",
+}
+
+#: string stats are truncated to this many chars; a truncated MIN is
+#: still a valid lower bound (prefixes sort lower), a truncated MAX is
+#: re-raised to an upper bound by appending the largest code point —
+#: Delta's exact trick (U+10FFFF pad on maxValues)
+_STR_STAT_LEN = 64
+_MAX_CODEPOINT = "\U0010ffff"
+
+_PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=")
+
 
 def apply_changes_to_rollup(
     prev: DataFrame | None, feed: DataFrame | None, keys: list[str]
@@ -123,6 +146,7 @@ class TxLogKeptSink:
         settings: dict | None = None,
         auto_compact_files: int | None = 64,
         merge_schema: bool = False,
+        stats_columns: list[str] | None = None,
     ):
         """``settings``: optional store-level properties (the analogue
         of ES index settings, resolved via
@@ -147,6 +171,11 @@ class TxLogKeptSink:
         # NULL in the new columns. Narrowing or re-typing is always
         # rejected.
         self.merge_schema = merge_schema
+        # which columns get per-file min/max/null-count stats in every
+        # commit (None = auto: the first MAX_STATS_COLUMNS orderable
+        # atomic columns). Stats power read-time file skipping; a
+        # column outside this set simply never prunes.
+        self.stats_columns = stats_columns
 
     # -- log primitives ----------------------------------------------------
 
@@ -201,10 +230,11 @@ class TxLogKeptSink:
                     lineage._join(self.log_dir, f"{base:020d}.checkpoint.json")
                 )
             )
-            # tolerate pre-size checkpoints: (op, run_id) pads to
-            # (op, run_id, None) — unknown size, resolved lazily
+            # tolerate pre-size/pre-stats checkpoints: (op, run_id)
+            # pads to (op, run_id, None, None) — unknown size/stats,
+            # size resolved lazily, missing stats just never prune
             live = {
-                p: tuple(tag) + (None,) * (3 - len(tag))
+                p: tuple(tag) + (None,) * (4 - len(tag))
                 for p, tag in cp["live"].items()
             }
             ever = set(cp["ever"])
@@ -220,7 +250,7 @@ class TxLogKeptSink:
         return live, ever, last, schema
 
     @staticmethod
-    def _apply(live: dict[str, tuple[str, str, int | None]], e: dict) -> None:
+    def _apply(live: dict[str, tuple], e: dict) -> None:
         if e["op"] == "write":
             for p in [
                 p
@@ -232,10 +262,13 @@ class TxLogKeptSink:
             live.pop(p, None)
         # file byte length is table metadata (Delta's add.size): carried
         # in the live tag so optimize/maintain size decisions never pay
-        # per-file FS calls; None = legacy entry, resolved lazily
+        # per-file FS calls; None = legacy entry, resolved lazily.
+        # Likewise per-file column stats (Delta's add.stats) ride slot 3
+        # — read-time file skipping replays the log, never opens footers
         sizes = e.get("add_bytes", {})
+        stats = e.get("stats", {})
         for p in e.get("add", ()):
-            live[p] = (e["op"], e["run_id"], sizes.get(p))
+            live[p] = (e["op"], e["run_id"], sizes.get(p), stats.get(p))
 
     def _maybe_checkpoint(self, spark: SparkSession, version: int) -> None:
         if version % CHECKPOINT_EVERY != 0:
@@ -326,6 +359,175 @@ class TxLogKeptSink:
             for n, b in fs.listdir_sizes(d).items()
             if n.endswith(".parquet")
         }
+
+    # -- per-file column stats / data skipping ------------------------------
+
+    def _stats_cols(self, fields: dict[str, str]) -> list[str]:
+        if self.stats_columns is not None:
+            return [c for c in self.stats_columns if c in fields]
+        # auto: orderable atomic columns only; `run` is the sink's own
+        # constant-per-file stamp, no skipping value
+        return [
+            n
+            for n, t in fields.items()
+            if t in _STATS_TYPES and n != "run"
+        ][:MAX_STATS_COLUMNS]
+
+    @staticmethod
+    def _stat_value(v, t: str, is_max: bool):
+        """JSON-safe bound whose ordering survives the round trip."""
+        if v is None:
+            return None
+        if t == "date":
+            return v.isoformat()  # ISO dates sort lexicographically
+        if t == "string" and len(v) > _STR_STAT_LEN:
+            v = v[:_STR_STAT_LEN]
+            # a truncated min is still a lower bound (prefixes sort
+            # lower); a truncated max must be re-raised to an upper
+            # bound — Delta pads maxValues with U+10FFFF
+            return v + _MAX_CODEPOINT if is_max else v
+        return v
+
+    def _collect_stats(
+        self, spark: SparkSession, rels: list[str], schema_ddl: str
+    ) -> dict[str, dict]:
+        """min/max/null-count per (new file, stats column), via ONE
+        column-pruned grouped scan of exactly the files this commit
+        lands — per-commit cost is O(new data's stats columns), never
+        O(table). Delta computes these inline in its writer; Spark's
+        writer has no such hook, so the sink pays one narrow re-read
+        of the just-written files (columnar projection makes that a
+        small fraction of the write itself). The collect is bounded:
+        one row per new file."""
+        import math
+
+        fields = _ddl_to_fields(spark, schema_ddl)
+        cols = self._stats_cols(fields)
+        if not cols or not rels:
+            return {}
+        df = self._read_files(spark, rels, schema_ddl).withColumn(
+            "_f", F.input_file_name()
+        )
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"__mn_{c}"),
+                F.max(c).alias(f"__mx_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}"),
+            ]
+        per_file = df.groupBy("_f").agg(*aggs).collect()
+        paths = {self._abs(r): r for r in rels}
+        by_path = {
+            a.split("://")[-1].lstrip("/"): rel for a, rel in paths.items()
+        }
+        stats: dict[str, dict] = {}
+        for row in per_file:
+            uri = row["_f"]
+            rel = by_path.get(uri.split("://")[-1].lstrip("/"))
+            if rel is None:  # exotic URI normalization: suffix fallback
+                rel = next(
+                    r
+                    for a, r in paths.items()
+                    if uri.endswith(a) or uri.endswith(a.lstrip("/"))
+                )
+            colstats: dict[str, list] = {}
+            for c in cols:
+                mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
+                t = fields[c]
+                if t in ("float", "double") and any(
+                    v is not None and math.isnan(v) for v in (mn, mx)
+                ):
+                    continue  # NaN breaks ordering; no stats = no skip
+                colstats[c] = [
+                    self._stat_value(mn, t, False),
+                    self._stat_value(mx, t, True),
+                    int(row[f"__nl_{c}"] or 0),
+                ]
+            stats[rel] = {"rows": int(row["__rows"]), "cols": colstats}
+        return stats
+
+    @staticmethod
+    def _file_matches(
+        file_stats: dict | None, predicates: list[tuple], fields: dict
+    ) -> bool:
+        """False only when stats PROVE no row satisfies every conjunct
+        — missing stats (legacy commits, non-stats columns, NaN-poisoned
+        floats) always keep the file. Predicates are null-rejecting
+        (SQL comparison semantics), so an all-null column matches
+        nothing."""
+        if not file_stats:
+            return True
+        rows = file_stats.get("rows")
+        for col, op, val in predicates:
+            cs = file_stats.get("cols", {}).get(col)
+            if cs is None:
+                continue
+            mn, mx, nulls = cs
+            if mn is None and mx is None:
+                if rows is not None and nulls == rows:
+                    return False  # every value NULL: conjunct never true
+                continue
+            if fields.get(col) == "date" and hasattr(val, "isoformat"):
+                val = val.isoformat()
+            if op in ("=", "=="):
+                if val < mn or val > mx:
+                    return False
+            elif op == "<" and mn >= val:
+                return False
+            elif op == "<=" and mn > val:
+                return False
+            elif op == ">" and mx <= val:
+                return False
+            elif op == ">=" and mx < val:
+                return False
+        return True
+
+    @staticmethod
+    def _predicate_expr(predicates: list[tuple]):
+        from functools import reduce
+        from operator import and_
+
+        def one(col, op, val):
+            c = F.col(col)
+            return {
+                "=": c == val, "==": c == val,
+                "<": c < val, "<=": c <= val,
+                ">": c > val, ">=": c >= val,
+            }[op]
+
+        return reduce(and_, [one(*p) for p in predicates])
+
+    @staticmethod
+    def _check_predicates(predicates: list[tuple], fields: dict) -> None:
+        for col, op, _ in predicates:
+            if op not in _PRUNE_OPS:
+                raise ValueError(f"unsupported predicate op {op!r}")
+            if col not in fields:
+                raise ValueError(
+                    f"predicate column {col!r} not in table schema"
+                )
+
+    def prune_files(
+        self,
+        spark: SparkSession,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> tuple[list[str], int, str | None]:
+        """(surviving file rels, total live files, schema) for a
+        conjunctive predicate list [(col, op, literal), ...] — the
+        Iceberg planner's min/max manifest filtering, replayed from
+        the log alone (no footer reads, no FS listing)."""
+        snap, _, _, schema = self._state(spark, version)
+        if not snap:
+            return [], 0, schema
+        fields = _ddl_to_fields(spark, schema) if schema else {}
+        self._check_predicates(predicates, fields)
+        kept = [
+            p
+            for p, tag in snap.items()
+            if self._file_matches(tag[3], predicates, fields)
+        ]
+        return sorted(kept), len(snap), schema
 
     # -- KeptSink seam -----------------------------------------------------
 
@@ -530,6 +732,9 @@ class TxLogKeptSink:
                     "remove": removed,
                     "schema": schema_ddl,
                     "settings": self.settings,
+                    "stats": self._collect_stats(
+                        spark, sorted(add_map), schema_ddl
+                    ),
                 },
                 # the purge was derived from a snapshot: commit only
                 # against that exact version, else re-derive (same OCC
@@ -609,6 +814,9 @@ class TxLogKeptSink:
                     "add": sorted(add_map),
                     "add_bytes": add_map,
                     "schema": last_schema,
+                    "stats": self._collect_stats(
+                        spark, sorted(add_map), last_schema
+                    ),
                 },
                 base_version=base_version,
             )
@@ -618,12 +826,36 @@ class TxLogKeptSink:
         raise OSError(f"txlog delete lost {MAX_COMMIT_ATTEMPTS} snapshot races")
 
     def read(
-        self, spark: SparkSession, version: int | None = None
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        predicates: list[tuple] | None = None,
     ) -> DataFrame | None:
+        """Snapshot read, optionally predicate-pruned. ``predicates``
+        is a conjunctive [(col, op, literal), ...] list; files whose
+        recorded min/max bounds exclude every conjunct are never
+        opened (Delta/Iceberg data skipping), and the same predicate
+        is applied as a row filter so the result is EXACT regardless
+        of how coarse the file bounds are. At warehouse scale this is
+        the difference between a point lookup reading one clustered
+        file and scanning the table — ``optimize(cluster_by=...)``
+        is what makes the bounds tight."""
         snap, _, _, schema = self._state(spark, version)
         if not snap:
             return None
-        return self._read_files(spark, snap, schema)
+        if not predicates:
+            return self._read_files(spark, snap, schema)
+        fields = _ddl_to_fields(spark, schema) if schema else {}
+        self._check_predicates(predicates, fields)
+        kept = [
+            p
+            for p, tag in snap.items()
+            if self._file_matches(tag[3], predicates, fields)
+        ]
+        expr = self._predicate_expr(predicates)
+        if not kept:
+            return spark.createDataFrame([], schema).where(expr)
+        return self._read_files(spark, sorted(kept), schema).where(expr)
 
     # -- table-format extras ----------------------------------------------
 
@@ -648,6 +880,7 @@ class TxLogKeptSink:
         spark: SparkSession,
         target_file_bytes: int = 128 << 20,
         small_file_bytes: int | None = None,
+        cluster_by: list[str] | None = None,
     ) -> int:
         """Bin-pack small live files into ~``target_file_bytes`` ones
         (Delta's OPTIMIZE / Iceberg's rewrite_data_files). Streaming
@@ -664,6 +897,15 @@ class TxLogKeptSink:
         both. Old files stay on disk for time travel until ``vacuum``.
         The rewrite is a narrow ``coalesce`` job (no shuffle): executors
         stream the small files into the packed ones.
+
+        ``cluster_by``: sort-cluster the packed output on these columns
+        (Delta's OPTIMIZE ZORDER BY, linearized): a range repartition +
+        within-partition sort gives the output files DISJOINT value
+        ranges, so the per-file min/max stats every commit records turn
+        point/range predicates into O(1)-file reads instead of table
+        scans. Costs one shuffle of the compacted rows — the same
+        premium real ZORDER pays — where the default bin-pack is a
+        shuffle-free ``coalesce``.
 
         Returns the number of files compacted away (0 = nothing to do).
         """
@@ -683,16 +925,38 @@ class TxLogKeptSink:
                 p: tag[2] if tag[2] is not None else fs.size(self._abs(p))
                 for p, tag in live.items()
             }
-            small = sorted(p for p in live if sizes[p] < small_file_bytes)
+            if cluster_by:
+                # clustering is a layout rewrite, not a size fix: every
+                # live file participates so the output ranges are
+                # disjoint across the WHOLE table (Delta ZORDER rewrites
+                # its full candidate set for the same reason)
+                small = sorted(live)
+            else:
+                small = sorted(p for p in live if sizes[p] < small_file_bytes)
             total = sum(sizes[p] for p in small)
             n_out = max(1, math.ceil(total / target_file_bytes))
-            if len(small) <= n_out:
+            if not cluster_by and len(small) <= n_out:
                 return 0  # packing would not reduce the file count
             rel = f"data/opt-{uuid.uuid4().hex[:8]}"
             abs_dir = self._abs(rel)
-            self._read_files(spark, small, schema).coalesce(n_out).write.mode(
-                "overwrite"
-            ).parquet(abs_dir)
+            df = self._read_files(spark, small, schema)
+            if cluster_by:
+                fields = _ddl_to_fields(spark, schema) if schema else {}
+                missing = [c for c in cluster_by if c not in fields]
+                if missing:
+                    raise ValueError(
+                        f"cluster_by columns {missing} not in table schema"
+                    )
+                # one range shuffle + in-partition sort: output file i
+                # holds a contiguous, disjoint slice of the cluster-key
+                # space, which is exactly what makes the per-file
+                # min/max bounds recorded below prune to O(1) files
+                df = df.repartitionByRange(
+                    n_out, *cluster_by
+                ).sortWithinPartitions(*cluster_by)
+            else:
+                df = df.coalesce(n_out)
+            df.write.mode("overwrite").parquet(abs_dir)
             add_map = self._dir_files(fs, abs_dir, rel)
             v = self._commit(
                 spark,
@@ -704,6 +968,9 @@ class TxLogKeptSink:
                     "add_bytes": add_map,
                     "schema": schema,
                     "settings": self.settings,
+                    "stats": self._collect_stats(
+                        spark, sorted(add_map), schema
+                    ),
                 },
                 base_version=base_version,
             )

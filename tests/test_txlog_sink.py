@@ -782,3 +782,182 @@ def test_rollup_maintained_from_change_feed_matches_recompute(spark):
         )
         got = sorted((r["lang"], r["n"]) for r in rollup.collect())
         assert got == expect, f"rollup diverged at v{v}"
+
+
+# -- per-file column stats / data skipping --------------------------------
+
+
+def _stats_sink(spark, name, rows_per_file=8, files=6):
+    """A table whose files hold DISJOINT v-ranges: file i covers
+    [i*rows, (i+1)*rows). Written one file per commit so the recorded
+    per-file bounds are tight by construction."""
+    sink = TxLogKeptSink(os.path.join(BASE, name))
+    for i in range(files):
+        df = spark.createDataFrame(
+            [
+                (f"id{i}-{j}", "aa" if j % 2 else "bb", i * rows_per_file + j)
+                for j in range(rows_per_file)
+            ],
+            "image_id string, lang string, v int",
+        ).coalesce(1)
+        sink.write(df, f"r{i}")
+    return sink
+
+
+def test_commit_records_per_file_stats(spark):
+    """Every write commit carries min/max/null-count per (file, stats
+    column) — Delta's add.stats — derived from one narrow grouped scan
+    of just the landed files."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = _stats_sink(spark, "stats", rows_per_file=4, files=2)
+    for e in sink.history(spark):
+        assert e["op"] == "write"
+        assert set(e["stats"]) == set(e["add"])
+        for rel, st in e["stats"].items():
+            assert st["rows"] == 4
+            assert set(st["cols"]) == {"image_id", "lang", "v"}
+            mn, mx, nulls = st["cols"]["v"]
+            assert nulls == 0 and mn <= mx
+    # the live replay carries stats in slot 3
+    live = sink._state(spark)[0]
+    assert all(tag[3] and "cols" in tag[3] for tag in live.values())
+
+
+def test_prune_files_skips_excluded_ranges_and_read_is_exact(spark):
+    """File skipping from the log alone: a point predicate over the
+    disjoint-range table opens exactly one file; the pruned read equals
+    the full-scan filter bit-for-bit regardless of bounds coarseness."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = _stats_sink(spark, "prune", rows_per_file=8, files=6)
+    kept, total, _ = sink.prune_files(spark, [("v", "=", 20)])
+    assert total == 6 and len(kept) == 1
+    kept, _, _ = sink.prune_files(spark, [("v", ">=", 8), ("v", "<", 17)])
+    assert len(kept) == 2
+    # out-of-range predicate prunes everything; read still returns the
+    # correct empty frame with the table schema
+    kept, _, _ = sink.prune_files(spark, [("v", ">", 10_000)])
+    assert kept == []
+    empty = sink.read(spark, predicates=[("v", ">", 10_000)])
+    assert empty.count() == 0 and "image_id" in empty.columns
+    # exactness: pruned read == full read + row filter
+    for preds in ([("v", "=", 20)], [("v", ">=", 8), ("v", "<", 17)]):
+        got = sorted(
+            r["image_id"]
+            for r in sink.read(spark, predicates=preds).collect()
+        )
+        expr = TxLogKeptSink._predicate_expr(preds)
+        want = sorted(
+            r["image_id"] for r in sink.read(spark).where(expr).collect()
+        )
+        assert got == want and got
+    with pytest.raises(ValueError):
+        sink.prune_files(spark, [("nope", "=", 1)])
+    with pytest.raises(ValueError):
+        sink.prune_files(spark, [("v", "!=", 1)])
+
+
+def test_missing_stats_never_prune(spark):
+    """Legacy commits (no stats key) must behave as 'bounds unknown':
+    every file survives pruning and predicate reads stay exact."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = _stats_sink(spark, "legacy", rows_per_file=4, files=3)
+    # strip stats from every log entry, as a pre-stats sink wrote them
+    for n in os.listdir(sink.log_dir):
+        if not n.endswith(".json"):
+            continue
+        p = os.path.join(sink.log_dir, n)
+        e = json.loads(open(p).read())
+        e.pop("stats", None)
+        if "live" in e:  # checkpoints pad back to 4 slots on read
+            e["live"] = {k: v[:3] for k, v in e["live"].items()}
+        open(p, "w").write(json.dumps(e))
+        crc = os.path.join(sink.log_dir, f".{n}.crc")
+        os.path.exists(crc) and os.remove(crc)
+    kept, total, _ = sink.prune_files(spark, [("v", "=", 5)])
+    assert total == 3 and len(kept) == 3  # nothing provably skippable
+    got = sorted(
+        r["image_id"]
+        for r in sink.read(spark, predicates=[("v", "=", 5)]).collect()
+    )
+    assert got == ["id1-1"]
+
+
+def test_stats_edge_cases_null_nan_long_strings(spark):
+    """All-NULL columns prune every comparison; NaN-poisoned float
+    bounds are dropped (file always kept); >64-char string maxima are
+    re-raised with U+10FFFF so truncated bounds stay sound."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "edge"))
+    long_a = "a" * 100
+    long_z = "z" * 100
+    df = spark.createDataFrame(
+        [
+            (long_a, None, float("nan")),
+            (long_z, None, 1.0),
+        ],
+        "image_id string, lang string, score double",
+    ).coalesce(1)
+    sink.write(df, "r1")
+    st = sink.history(spark)[-1]["stats"]
+    (file_stats,) = st.values()
+    # NaN poisoning: no score bounds recorded at all
+    assert "score" not in file_stats["cols"]
+    mn, mx, nulls = file_stats["cols"]["lang"]
+    assert mn is None and mx is None and nulls == 2
+    mn, mx, _ = file_stats["cols"]["image_id"]
+    assert mn == "a" * 64 and mx == "z" * 64 + "\U0010ffff"
+    # all-null column: every comparison provably false -> pruned
+    kept, _, _ = sink.prune_files(spark, [("lang", "=", "aa")])
+    assert kept == []
+    # NaN column: bounds unknown -> never pruned
+    kept, _, _ = sink.prune_files(spark, [("score", ">", 100.0)])
+    assert len(kept) == 1
+    # the truncated max is still an upper bound: equality on the real
+    # 100-char value must keep the file
+    kept, _, _ = sink.prune_files(spark, [("image_id", "=", long_z)])
+    assert len(kept) == 1
+    got = sink.read(spark, predicates=[("image_id", "=", long_z)]).collect()
+    assert [r["image_id"] for r in got] == [long_z]
+    # ...and a value past the padded max prunes
+    kept, _, _ = sink.prune_files(
+        spark, [("image_id", ">", "z" * 64 + "\U0010ffff")]
+    )
+    assert kept == []
+
+
+def test_optimize_cluster_by_tightens_bounds_to_one_file(spark):
+    """Value-interleaved ingest defeats skipping (every file spans the
+    whole range); OPTIMIZE cluster_by re-sorts the table into disjoint
+    slices so the SAME point predicate drops from all-files to one.
+    Content-preserving; time travel still sees the old layout."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "zorder"))
+    # 4 commits, each covering the full 0..99 range (worst case layout)
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(f"id{i}-{j}", "x", j) for j in range(0, 100, 4)],
+            "image_id string, lang string, v int",
+        ).coalesce(1)
+        sink.write(df, f"r{i}")
+    kept, total, _ = sink.prune_files(spark, [("v", "=", 48)])
+    assert total == 4 and len(kept) == 4  # interleaved: nothing skips
+    before = _kept_frame(sink, spark)
+    # force multiple output files so disjointness is observable
+    n = sink.optimize(spark, target_file_bytes=1500, cluster_by=["v"])
+    assert n == 4
+    live = sink._state(spark)[0]
+    assert len(live) > 1
+    # disjoint ranges: each file's [min,max] windows must not overlap
+    bounds = sorted(tag[3]["cols"]["v"][:2] for tag in live.values())
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2, f"overlapping cluster ranges {bounds}"
+    kept, total, _ = sink.prune_files(spark, [("v", "=", 48)])
+    assert total == len(live) and len(kept) == 1
+    pd.testing.assert_frame_equal(before, _kept_frame(sink, spark))
+    got = sorted(
+        r["image_id"]
+        for r in sink.read(spark, predicates=[("v", "=", 48)]).collect()
+    )
+    assert got == ["id0-48", "id1-48", "id2-48", "id3-48"]
+    with pytest.raises(ValueError):
+        sink.optimize(spark, cluster_by=["nope"])
