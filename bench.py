@@ -224,6 +224,11 @@ def time_queries(
     # the bench keeps the standalone pq leg for cross-round comparability
     # (BENCH_r03/r04 record it by this name)
     qs["embedding_pq_ann"] = entrymod.q_embedding_pq_ann
+    # round-5 fused the three as-of variants into one driver entry; the
+    # bench keeps the plain + salted legs standalone (BENCH_r02..r04
+    # record them by these names)
+    qs["asof_join_purchase_view"] = entrymod.q_asof_join_purchase_view
+    qs["asof_join_salted_view"] = entrymod.q_asof_join_salted_view
     # untimed warm-up: spin up the Python worker pool (reused across
     # queries), import the package + fit the lazy model singletons in
     # every worker, and JIT the scan path — so per-query timings measure
