@@ -97,6 +97,95 @@ _MAX_CODEPOINT = "\U0010ffff"
 
 _PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=")
 
+#: per-file bloom filters (Iceberg's puffin blobs / Delta's bloom
+#: index): min/max bounds cannot prune a POINT lookup on a
+#: high-cardinality key (every file's [min,max] spans the id space
+#: once the table is clustered by anything else), which at 10^12-row
+#: scale is the most common query there is. Blooms are opt-in per
+#: column (``bloom_columns``), restricted to exactly-hashable types
+_BLOOM_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+#: fixed hash count — optimal k for the ~1% target false-positive
+#: rate; kept constant so the query side never re-derives it
+_BLOOM_K = 7
+#: bitset size cap: 1 MiB per (file, column) — beyond ~10^6 distinct
+#: values per file the FPP degrades gracefully instead of the
+#: metadata exploding
+_BLOOM_MAX_BITS = 1 << 23
+_BLOOM_MIN_BITS = 1 << 10
+#: the two 16-byte siphash keys for the double-hashing scheme
+#: h_i = h1 + i*h2 — both sides (vectorized executor build, scalar
+#: driver probe) call pandas.util.hash_array with these exact keys
+_BLOOM_KEY1 = "gobulk-bloom-h1!"
+_BLOOM_KEY2 = "gobulk-bloom-h2!"
+
+
+def _bloom_m_bits(n_distinct: int) -> int:
+    """Bitset size for ~1% FPP at ``n_distinct`` values, 64-bit
+    aligned, clamped to [_BLOOM_MIN_BITS, _BLOOM_MAX_BITS]."""
+    import math
+
+    n = max(1, n_distinct)
+    m = int(-n * math.log(0.01) / (math.log(2) ** 2))
+    m = (m + 63) // 64 * 64
+    return max(_BLOOM_MIN_BITS, min(_BLOOM_MAX_BITS, m))
+
+
+def _bloom_hashes(values, type_name: str):
+    """(h1, h2) uint64 arrays for ``values`` — the ONE hashing
+    convention shared by the executor-side build and the driver-side
+    probe. Values are first coerced to the column's storage dtype so
+    a Python int probes the same bytes an int64 column hashed."""
+    import numpy as np
+    import pandas as pd
+
+    if type_name == "string":
+        arr = np.asarray(values, dtype=object)
+    else:
+        arr = np.asarray(values, dtype=np.int64)
+    h1 = pd.util.hash_array(arr, hash_key=_BLOOM_KEY1, categorize=False)
+    h2 = pd.util.hash_array(arr, hash_key=_BLOOM_KEY2, categorize=False) | 1
+    return h1, h2
+
+
+def _bloom_build(values, type_name: str) -> tuple[int, bytes]:
+    """(m_bits, bitset bytes) for one file's column values."""
+    import numpy as np
+    import pandas as pd
+
+    uniq = pd.unique(pd.Series(values).dropna())
+    m = _bloom_m_bits(len(uniq))
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if len(uniq):
+        h1, h2 = _bloom_hashes(uniq, type_name)
+        mm = np.uint64(m)
+        for i in range(_BLOOM_K):
+            # numpy 1.x upcasts uint64 <op> python-int to float64,
+            # silently corrupting the modulus — every scalar here must
+            # be an explicit uint64
+            pos = (h1 + np.uint64(i) * h2) % mm
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(
+                    np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                ),
+            )
+    return m, bits.tobytes()
+
+
+def _bloom_might_contain(m: int, bits: bytes, value, type_name: str) -> bool:
+    import numpy as np
+
+    h1, h2 = _bloom_hashes([value], type_name)
+    mm = np.uint64(m)
+    for i in range(_BLOOM_K):
+        # array arithmetic (not scalar): uint64 wraparound is silent
+        # for arrays, warning-free — and bit-identical to the build
+        pos = int(((h1 + np.uint64(i) * h2) % mm)[0])
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
 
 def apply_changes_to_rollup(
     prev: DataFrame | None, feed: DataFrame | None, keys: list[str]
@@ -147,6 +236,7 @@ class TxLogKeptSink:
         auto_compact_files: int | None = 64,
         merge_schema: bool = False,
         stats_columns: list[str] | None = None,
+        bloom_columns: list[str] | None = None,
     ):
         """``settings``: optional store-level properties (the analogue
         of ES index settings, resolved via
@@ -176,6 +266,12 @@ class TxLogKeptSink:
         # atomic columns). Stats power read-time file skipping; a
         # column outside this set simply never prunes.
         self.stats_columns = stats_columns
+        # opt-in per-file bloom filters (int/string columns only) for
+        # point-lookup skipping where min/max is useless — the bitsets
+        # land in one sidecar JSON per commit (Iceberg's puffin shape),
+        # referenced from the commit entry, loaded lazily at query time
+        self.bloom_columns = bloom_columns
+        self._bloom_cache: dict[str, dict] = {}
 
     # -- log primitives ----------------------------------------------------
 
@@ -444,7 +540,71 @@ class TxLogKeptSink:
                     int(row[f"__nl_{c}"] or 0),
                 ]
             stats[rel] = {"rows": int(row["__rows"]), "cols": colstats}
+        self._attach_blooms(spark, df, fields, by_path, paths, stats)
         return stats
+
+    def _attach_blooms(
+        self, spark, df, fields, by_path, paths, stats: dict
+    ) -> None:
+        """Build per-(file, column) bloom bitsets for the configured
+        ``bloom_columns`` in ONE executor-side grouped pass over the
+        just-landed files (vectorized siphash via pandas.util.hash_array
+        — no per-row Python), land them in one sidecar JSON under
+        ``_txlog/blooms/`` and stamp each file's stats with the sidecar
+        ref. Sidecars are immutable like data files: rewrites get fresh
+        ones, old ones serve time travel, and a losing OCC attempt's
+        orphan sidecar is dead weight a few KB large, never a
+        correctness hazard."""
+        import base64
+
+        bcols = [
+            c
+            for c in (self.bloom_columns or ())
+            if fields.get(c) in _BLOOM_TYPES
+        ]
+        if not bcols or not stats:
+            return
+        types = {c: fields[c] for c in bcols}
+
+        def build(pdf):
+            import pandas as pd
+
+            out = []
+            f = pdf["_f"].iloc[0]
+            for c, t in types.items():
+                m, raw = _bloom_build(pdf[c], t)
+                out.append((f, c, m, raw))
+            return pd.DataFrame(out, columns=["f", "col", "m", "bits"])
+
+        rows = (
+            df.select("_f", *bcols)
+            .groupBy("_f")
+            .applyInPandas(build, schema="f string, col string, m long, bits binary")
+            .collect()
+        )
+        sidecar: dict[str, dict] = {}
+        for r in rows:
+            rel = by_path.get(r["f"].split("://")[-1].lstrip("/"))
+            if rel is None:
+                rel = next(
+                    rr
+                    for a, rr in paths.items()
+                    if r["f"].endswith(a) or r["f"].endswith(a.lstrip("/"))
+                )
+            sidecar.setdefault(rel, {})[r["col"]] = {
+                "m": int(r["m"]),
+                "bits": base64.b64encode(bytes(r["bits"])).decode(),
+            }
+        ref = f"blooms/{uuid.uuid4().hex}.json"
+        fs = self._fs(spark)
+        fs.mkdirs(lineage._join(self.log_dir, "blooms"))
+        fs.write_text_atomic(
+            lineage._join(self.log_dir, ref),
+            json.dumps({"k": _BLOOM_K, "files": sidecar}),
+        )
+        for rel in stats:
+            if rel in sidecar:
+                stats[rel]["bloom"] = ref
 
     @staticmethod
     def _file_matches(
@@ -507,6 +667,76 @@ class TxLogKeptSink:
                     f"predicate column {col!r} not in table schema"
                 )
 
+    def _bloom_sidecar(self, spark: SparkSession, ref: str) -> dict:
+        """Parsed bloom sidecar, cached per sink instance — a warehouse
+        query planner touches each sidecar once per plan, not per file.
+        A vanished sidecar (manual cleanup, partial restore) degrades to
+        an empty one: blooms only ever DECLINE to skip."""
+        cached = self._bloom_cache.get(ref)
+        if cached is None:
+            try:
+                cached = json.loads(
+                    self._fs(spark).read_text(lineage._join(self.log_dir, ref))
+                )
+            except Exception:
+                cached = {"k": _BLOOM_K, "files": {}}
+            self._bloom_cache[ref] = cached
+        return cached
+
+    def _bloom_excludes(
+        self,
+        spark: SparkSession,
+        rel: str,
+        file_stats: dict | None,
+        predicates: list[tuple],
+        fields: dict,
+    ) -> bool:
+        """True when a bloom PROVES an equality conjunct's value absent
+        from ``rel`` — the skip min/max can never make on a
+        high-cardinality key. Only ``=`` conjuncts consult blooms; a
+        missing sidecar or un-bloomed column just declines to skip
+        (same conservative contract as missing min/max stats)."""
+        ref = (file_stats or {}).get("bloom")
+        if not ref:
+            return False
+        eq = [
+            (c, v)
+            for c, op, v in predicates
+            if op in ("=", "==") and fields.get(c) in _BLOOM_TYPES
+        ]
+        if not eq:
+            return False
+        blooms = self._bloom_sidecar(spark, ref)["files"].get(rel, {})
+        for c, v in eq:
+            b = blooms.get(c)
+            if b is None:
+                continue
+            import base64
+
+            if not _bloom_might_contain(
+                b["m"], base64.b64decode(b["bits"]), v, fields[c]
+            ):
+                return True
+        return False
+
+    def _surviving(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        predicates: list[tuple],
+        fields: dict,
+    ) -> list[str]:
+        """Live files a conjunctive predicate list cannot rule out,
+        using min/max bounds first (free: already in the replayed tag)
+        and bloom sidecars second (one lazy read per referenced
+        sidecar, only for files the bounds kept)."""
+        return [
+            p
+            for p, tag in snap.items()
+            if self._file_matches(tag[3], predicates, fields)
+            and not self._bloom_excludes(spark, p, tag[3], predicates, fields)
+        ]
+
     def prune_files(
         self,
         spark: SparkSession,
@@ -522,11 +752,7 @@ class TxLogKeptSink:
             return [], 0, schema
         fields = _ddl_to_fields(spark, schema) if schema else {}
         self._check_predicates(predicates, fields)
-        kept = [
-            p
-            for p, tag in snap.items()
-            if self._file_matches(tag[3], predicates, fields)
-        ]
+        kept = self._surviving(spark, snap, predicates, fields)
         return sorted(kept), len(snap), schema
 
     # -- KeptSink seam -----------------------------------------------------
@@ -847,11 +1073,7 @@ class TxLogKeptSink:
             return self._read_files(spark, snap, schema)
         fields = _ddl_to_fields(spark, schema) if schema else {}
         self._check_predicates(predicates, fields)
-        kept = [
-            p
-            for p, tag in snap.items()
-            if self._file_matches(tag[3], predicates, fields)
-        ]
+        kept = self._surviving(spark, snap, predicates, fields)
         expr = self._predicate_expr(predicates)
         if not kept:
             return spark.createDataFrame([], schema).where(expr)

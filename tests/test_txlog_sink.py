@@ -961,3 +961,106 @@ def test_optimize_cluster_by_tightens_bounds_to_one_file(spark):
     assert got == ["id0-48", "id1-48", "id2-48", "id3-48"]
     with pytest.raises(ValueError):
         sink.optimize(spark, cluster_by=["nope"])
+
+
+# -- per-file bloom filters (point-lookup skipping) ------------------------
+
+
+def _bloom_sink(spark, name, files=6, rows_per_file=40):
+    """The layout where min/max is USELESS: every file's v-range AND
+    image_id-range span the whole space (round-robin interleave on v,
+    shared id prefix with the file discriminator LAST) — only a bloom
+    can prune a point lookup here."""
+    sink = TxLogKeptSink(
+        os.path.join(BASE, name), bloom_columns=["image_id", "v"]
+    )
+    for i in range(files):
+        df = spark.createDataFrame(
+            [
+                (f"im-{j:04d}-{i}", "aa", j * files + i)
+                for j in range(rows_per_file)
+            ],
+            "image_id string, lang string, v int",
+        ).coalesce(1)
+        sink.write(df, f"r{i}")
+    return sink
+
+
+def test_bloom_prunes_point_lookups_where_minmax_cannot(spark):
+    """String and int point lookups open ~1 file on an interleaved
+    table where bounds keep all of them; present values are NEVER
+    false-negatives; absent in-range values prune everything (at ~1%
+    FPP); range predicates don't consult blooms."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = _bloom_sink(spark, "bloom")
+    fields = {"v": "int", "image_id": "string"}
+    live = sink._state(spark)[0]
+    assert all("bloom" in tag[3] for tag in live.values())
+    # sanity: min/max bounds alone keep every file for both probes
+    for pred in ([("v", "=", 93)], [("image_id", "=", "im-0021-4")]):
+        assert all(
+            TxLogKeptSink._file_matches(tag[3], pred, fields)
+            for tag in live.values()
+        )
+    # int point lookup: v=93 lives only in file 93 % 6 = 3
+    kept, total, _ = sink.prune_files(spark, [("v", "=", 93)])
+    assert total == 6 and 1 <= len(kept) <= 2, kept
+    got = sink.read(spark, predicates=[("v", "=", 93)]).collect()
+    assert [r["image_id"] for r in got] == ["im-0015-3"]
+    # string point lookup: id exists only in file 4
+    kept, _, _ = sink.prune_files(spark, [("image_id", "=", "im-0021-4")])
+    assert 1 <= len(kept) <= 2, kept
+    got = sink.read(
+        spark, predicates=[("image_id", "=", "im-0021-4")]
+    ).collect()
+    assert [(r["image_id"], r["v"]) for r in got] == [("im-0021-4", 130)]
+    # no false negatives: EVERY present id keeps its file
+    for i in range(6):
+        kept, _, _ = sink.prune_files(
+            spark, [("image_id", "=", f"im-0000-{i}")]
+        )
+        assert kept, f"false negative for file {i}"
+    # absent but IN-BOUNDS values: bloom excludes all files (FPP slack 1)
+    kept, _, _ = sink.prune_files(spark, [("image_id", "=", "im-0021-9")])
+    assert len(kept) <= 1, kept
+    empty = sink.read(spark, predicates=[("image_id", "=", "im-0021-9")])
+    assert empty.count() == 0
+    # range predicates never consult blooms: bounds keep everything
+    kept, _, _ = sink.prune_files(spark, [("v", ">=", 0)])
+    assert len(kept) == 6
+
+
+def test_bloom_sidecar_missing_declines_to_skip(spark):
+    """A vanished sidecar degrades to 'bounds unknown': nothing is
+    bloom-pruned, reads stay exact — same conservative contract as
+    missing min/max stats."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = _bloom_sink(spark, "bloomless", files=3, rows_per_file=10)
+    shutil.rmtree(os.path.join(sink.log_dir, "blooms"))
+    sink._bloom_cache.clear()
+    # v=13 is present only in file 1, but every file's bounds cover it
+    kept, total, _ = sink.prune_files(spark, [("v", "=", 13)])
+    assert total == 3 and len(kept) == 3
+    got = sink.read(spark, predicates=[("v", "=", 13)]).collect()
+    assert [r["image_id"] for r in got] == ["im-0004-1"]
+
+
+def test_bloom_survives_optimize_and_time_travel(spark):
+    """OPTIMIZE's rewritten files get fresh blooms (same commit-side
+    stats pass); the pre-optimize version still reads exactly through
+    its own retained sidecars."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = _bloom_sink(spark, "bloomopt", files=4, rows_per_file=30)
+    v_before = sink.history(spark)[-1]["version"]
+    n = sink.optimize(spark, target_file_bytes=64_000)
+    assert n == 4
+    live = sink._state(spark)[0]
+    assert all("bloom" in tag[3] for tag in live.values())
+    got = sink.read(
+        spark, predicates=[("image_id", "=", "im-0011-2")]
+    ).collect()
+    assert [r["v"] for r in got] == [11 * 4 + 2]
+    old = sink.read(
+        spark, version=v_before, predicates=[("image_id", "=", "im-0011-2")]
+    ).collect()
+    assert [r["v"] for r in old] == [11 * 4 + 2]
