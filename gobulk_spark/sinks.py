@@ -297,7 +297,13 @@ class UnreliableMemoryKeptSink(MemoryKeptSink):
                         "source_file": item.get("source_file"),
                         "content_hash": item.get("content_hash"),
                         "error_msg": err,
-                        "payload": str(item.get("caption")),
+                        # NULL captions stay NULL, matching the
+                        # executor-side failures-frame contract
+                        "payload": (
+                            None
+                            if item.get("caption") is None
+                            else str(item["caption"])
+                        ),
                         "attempts": attempts,
                     }
                 )
