@@ -20,6 +20,9 @@ spec's snapshot/manifest model), sized to this engine's needs:
   delete rewrite gobulk's executor runs against SQL stores
   (output/gorm.go:114-152) and ParquetKeptSink approximates with
   directory swaps;
+- MERGE upsert: ``merge`` replaces matched keys and appends the rest
+  in ONE atomic remove+add commit (Delta's MERGE INTO), duplicate
+  source keys refused;
 - time travel: ``read(version=N)`` replays a prefix of the log;
 - schema-in-log: ``validate`` diffs the declared schema against the
   log's recorded schema — no data files are opened to reject a
@@ -846,6 +849,35 @@ class TxLogKeptSink:
             .distinct()
         )
 
+    def _union_schema(
+        self,
+        spark: SparkSession,
+        log_schema: str | None,
+        df_fields: dict[str, str],
+        run_id: str,
+    ) -> str:
+        """The recorded schema is the UNION of every write's fields
+        (Delta semantics): a write narrower than the table must not
+        shrink the recorded schema — projected reads would silently
+        drop the wide columns from every older row. Its rows just read
+        NULL in the columns it omits. Re-typing is refused, so direct
+        API writes (which skip the pipeline's validate gate) cannot
+        corrupt the log schema."""
+        merged = (
+            {n: t for n, t in _ddl_to_fields(spark, log_schema).items()}
+            if log_schema
+            else {}
+        )
+        for n, t in df_fields.items():
+            if n in merged and merged[n] != t:
+                raise SinkSchemaMismatch(
+                    f"txlog store at {self.root}: write of run "
+                    f"{run_id} re-types column {n} ({merged[n]} -> "
+                    f"{t})"
+                )
+            merged.setdefault(n, t)
+        return ", ".join(f"{n} {t}" for n, t in merged.items())
+
     def write(self, df: DataFrame, run_id: str):
         """Land a run's kept rows as immutable files + ONE commit.
 
@@ -865,27 +897,9 @@ class TxLogKeptSink:
                 fs.delete(d)
             staged = []
             live, ever, base_version, log_schema = self._state(spark)
-            # the recorded schema is the UNION of every write's fields
-            # (Delta semantics): a write narrower than the table must
-            # not shrink the recorded schema — projected reads would
-            # silently drop the wide columns from every older row. Its
-            # rows just read NULL in the columns it omits. Re-typing is
-            # refused here too, so direct API writes (which skip the
-            # pipeline's validate gate) cannot corrupt the log schema.
-            merged = (
-                {n: t for n, t in _ddl_to_fields(spark, log_schema).items()}
-                if log_schema
-                else {}
+            schema_ddl = self._union_schema(
+                spark, log_schema, df_fields, run_id
             )
-            for n, t in df_fields.items():
-                if n in merged and merged[n] != t:
-                    raise SinkSchemaMismatch(
-                        f"txlog store at {self.root}: write of run "
-                        f"{run_id} re-types column {n} ({merged[n]} -> "
-                        f"{t})"
-                    )
-                merged.setdefault(n, t)
-            schema_ddl = ", ".join(f"{n} {t}" for n, t in merged.items())
             base_rel = f"data/run-{run_id}"
             # per-run overwrite contract: replace this run's own torn,
             # UNCOMMITTED earlier attempt — but a dir ANY commit has
@@ -1050,6 +1064,129 @@ class TxLogKeptSink:
                 return
             fs.delete(rw_abs)  # stale snapshot: discard and re-derive
         raise OSError(f"txlog delete lost {MAX_COMMIT_ATTEMPTS} snapshot races")
+
+    def merge(
+        self,
+        spark: SparkSession,
+        run_id: str,
+        updates: DataFrame,
+        key: str = "image_id",
+    ) -> None:
+        """Delta MERGE-shaped upsert in ONE commit: every ``updates``
+        row whose ``key`` exists in the live table REPLACES that row
+        (whichever run stamped it — matched files are rewritten without
+        the old rows, one semi-join finds them); the rest append. The
+        whole upsert — bystander rewrites + the update rows — lands as
+        one atomic remove+add entry, so readers never see the deleted
+        half without the inserted half (the pipeline's two-commit
+        delete-then-write re-delivery is visible in between; MERGE is
+        not). Duplicate source keys are refused, as Delta refuses
+        multiple-match MERGEs: 'last writer wins among the updates' is
+        a silent data bug, not a semantics.
+
+        OCC like delete: derived from a snapshot, committed against
+        exactly that version, re-derived on a race. Cites gobulk's
+        upsert path (output/gorm.go:78-112, ON CONFLICT DO UPDATE) —
+        here expressed as the file-rewrite form a log-structured table
+        needs."""
+        fs = self._fs(spark)
+        dup = (
+            updates.groupBy(key).count().where(F.col("count") > 1).limit(1)
+        ).collect()
+        if dup:
+            raise ValueError(
+                f"merge source has duplicate {key}={dup[0][key]!r}: "
+                "a multiple-match upsert is ambiguous"
+            )
+        out = updates.withColumn("run", F.lit(run_id))
+        df_fields = {
+            f.name: f.dataType.simpleString() for f in out.schema.fields
+        }
+        keys = updates.select(key).distinct()
+        staged: list[str] = []
+        for _ in range(MAX_COMMIT_ATTEMPTS):
+            for d in staged:  # prior attempt's landing, superseded
+                fs.delete(d)
+            staged = []
+            snap, _, base_version, log_schema = self._state(spark)
+            schema_ddl = self._union_schema(
+                spark, log_schema, df_fields, run_id
+            )
+            # land the update rows (always a fresh dir: merge files are
+            # never the supersede target a write's run-dir is)
+            new_rel = f"data/mrg-{run_id}-{uuid.uuid4().hex[:8]}"
+            new_abs = self._abs(new_rel)
+            out.write.mode("overwrite").parquet(new_abs)
+            staged.append(new_abs)
+            add_map = self._dir_files(fs, new_abs, new_rel)
+            appended = sorted(add_map)
+            removed: list[str] = []
+            if snap:
+                # matched files: ONE semi-join over the live set finds
+                # exactly the files holding a matched key — only those
+                # are rewritten, everything else is untouched metadata
+                kept_files = sorted(snap)
+                paths = {self._abs(p): p for p in kept_files}
+                live_rows = self._read_files(
+                    spark, kept_files, log_schema
+                ).withColumn("_f", F.input_file_name())
+                hit_abs = [
+                    r["_f"]
+                    for r in live_rows.join(keys, key, "left_semi")
+                    .select("_f")
+                    .distinct()
+                    .collect()
+                ]
+                by_path = {
+                    a.split("://")[-1].lstrip("/"): rel
+                    for a, rel in paths.items()
+                }
+
+                def rel_of(uri: str) -> str:
+                    hit = by_path.get(uri.split("://")[-1].lstrip("/"))
+                    if hit is not None:
+                        return hit
+                    for a, rel in paths.items():
+                        if uri.endswith(a) or uri.endswith(a.lstrip("/")):
+                            return rel
+                    raise KeyError(f"unmapped input file {uri}")
+
+                removed = sorted({rel_of(u) for u in hit_abs})
+                if removed:
+                    # bystander rewrite: affected files minus matched
+                    # rows, via one broadcast-ish anti-join on the key
+                    rw_rel = f"data/mrgrw-{run_id}-{uuid.uuid4().hex[:8]}"
+                    rw_abs = self._abs(rw_rel)
+                    self._read_files(spark, removed, log_schema).join(
+                        keys, key, "left_anti"
+                    ).write.mode("overwrite").parquet(rw_abs)
+                    staged.append(rw_abs)
+                    add_map.update(self._dir_files(fs, rw_abs, rw_rel))
+            v = self._commit(
+                spark,
+                {
+                    "op": "merge",
+                    "run_id": run_id,
+                    "add": sorted(add_map),
+                    "add_bytes": add_map,
+                    # feed contract: inserts = the update rows' files;
+                    # deletes = removed rows minus BYSTANDER rewrites
+                    # (never minus the updates — an update identical to
+                    # its old row must still feed as delete+insert or
+                    # the multiset reconstruction drifts)
+                    "appended": appended,
+                    "remove": removed,
+                    "schema": schema_ddl,
+                    "settings": self.settings,
+                    "stats": self._collect_stats(
+                        spark, sorted(add_map), schema_ddl
+                    ),
+                },
+                base_version=base_version if base_version else None,
+            )
+            if v is not None:
+                return
+        raise OSError(f"txlog merge lost {MAX_COMMIT_ATTEMPTS} snapshot races")
 
     def read(
         self,
@@ -1245,6 +1382,8 @@ class TxLogKeptSink:
           files) — re-delivery made explicit, exactly once per retry.
         - delete: deletes = removed rows minus rewritten-survivor rows
           (multiset difference via ``exceptAll``).
+        - merge: deletes = matched pre-image rows (removed minus the
+          bystander rewrites); inserts = the update rows.
         - optimize: no logical change, nothing emitted.
 
         Requires the range's files to still exist: ``vacuum`` ends
@@ -1296,6 +1435,26 @@ class TxLogKeptSink:
             elif e["op"] == "delete":
                 deletes = rows(removed).exceptAll(rows(adds))
                 frames.append(tag(deletes, "delete", v))
+            elif e["op"] == "merge":
+                appended = set(e.get("appended", ()))
+                rewrites = [p for p in adds if p not in appended]
+                if removed:
+                    # matched pre-image rows = removed minus BYSTANDER
+                    # rewrites only — subtracting the update files too
+                    # would cancel an update identical to its old row
+                    # and break the multiset reconstruction
+                    old = rows(removed)
+                    frames.append(
+                        tag(
+                            old.exceptAll(rows(rewrites))
+                            if rewrites
+                            else old,
+                            "delete",
+                            v,
+                        )
+                    )
+                if appended:
+                    frames.append(tag(rows(sorted(appended)), "insert", v))
             self._apply(live, e)
         if not frames:
             return None

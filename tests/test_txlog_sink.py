@@ -389,6 +389,11 @@ _op = st.one_of(
         st.lists(st.sampled_from(_IDS), min_size=1, max_size=3, unique=True),
     ),
     st.tuples(
+        st.just("merge"),
+        st.sampled_from(_RUNS),
+        st.lists(st.sampled_from(_IDS), min_size=1, max_size=3, unique=True),
+    ),
+    st.tuples(
         st.just("optimize"),
         st.just(""),
         st.just([]),
@@ -432,6 +437,16 @@ def test_txlog_random_op_sequences_match_model(spark, ops):
             )
             sink.write(df, rid)
             model = [(i, r) for (i, r) in model if r != rid] + [
+                (i, rid) for i in ids
+            ]
+        elif kind == "merge":
+            df = spark.createDataFrame(
+                [(i, "x", 2) for i in ids], "image_id string, lang string, v int"
+            )
+            sink.merge(spark, rid, df)
+            # upsert: matched keys replaced whatever run stamped them,
+            # the rest appended
+            model = [(i, r) for (i, r) in model if i not in ids] + [
                 (i, rid) for i in ids
             ]
         else:
@@ -1064,3 +1079,152 @@ def test_bloom_survives_optimize_and_time_travel(spark):
         spark, version=v_before, predicates=[("image_id", "=", "im-0011-2")]
     ).collect()
     assert [r["v"] for r in old] == [11 * 4 + 2]
+
+
+# -- MERGE upsert ----------------------------------------------------------
+
+
+def test_merge_upserts_in_one_commit(spark):
+    """Matched keys are replaced (whichever run wrote them), unmatched
+    update rows append, and the whole upsert is ONE remove+add commit —
+    no intermediate version ever shows the deleted half alone. Time
+    travel still sees the pre-merge table; duplicate source keys are
+    refused."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "merge"))
+    sink.write(
+        spark.createDataFrame(
+            [("a", "x", 1), ("b", "x", 2)],
+            "image_id string, lang string, v int",
+        ),
+        "r1",
+    )
+    sink.write(
+        spark.createDataFrame(
+            [("c", "y", 3)], "image_id string, lang string, v int"
+        ),
+        "r2",
+    )
+    v_before = sink.history(spark)[-1]["version"]
+    updates = spark.createDataFrame(
+        [("b", "x", 20), ("c", "y", 30), ("d", "z", 40)],
+        "image_id string, lang string, v int",
+    )
+    sink.merge(spark, "m1", updates)
+    hist = sink.history(spark)
+    assert len(hist) == 3 and hist[-1]["op"] == "merge"
+    # both source files held a matched key -> both rewritten
+    assert len(hist[-1]["remove"]) == 2
+    got = {
+        (r["image_id"], r["v"], r["run"])
+        for r in sink.read(spark).collect()
+    }
+    assert got == {
+        ("a", 1, "r1"),
+        ("b", 20, "m1"),
+        ("c", 30, "m1"),
+        ("d", 40, "m1"),
+    }
+    old = {
+        (r["image_id"], r["v"]) for r in sink.read(spark, version=v_before).collect()
+    }
+    assert old == {("a", 1), ("b", 2), ("c", 3)}
+    with pytest.raises(ValueError, match="duplicate"):
+        sink.merge(
+            spark,
+            "m2",
+            spark.createDataFrame(
+                [("e", "x", 1), ("e", "x", 2)],
+                "image_id string, lang string, v int",
+            ),
+        )
+
+
+def test_merge_change_feed_is_exact_even_for_identical_rows(spark):
+    """The feed across a merge emits matched pre-images as deletes and
+    update rows as inserts — including when an update row is BYTE-
+    IDENTICAL to the row it replaces (same run stamp), the case where
+    subtracting the update files from the removes would silently cancel
+    the pair and drift the multiset reconstruction."""
+    from collections import Counter
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "mergefeed"))
+    sink.write(
+        spark.createDataFrame(
+            [("a", "x", 1), ("b", "x", 2)],
+            "image_id string, lang string, v int",
+        ),
+        "r1",
+    )
+    # identical-row upsert: (a, x, 1) re-merged under the SAME run id
+    sink.merge(
+        spark,
+        "r1",
+        spark.createDataFrame(
+            [("a", "x", 1), ("e", "x", 5)],
+            "image_id string, lang string, v int",
+        ),
+    )
+    feed = sink.read_changes(spark, from_version=1)
+    changes = [
+        (r["_change_type"], r["image_id"], r["v"]) for r in feed.collect()
+    ]
+    assert sorted(changes) == [
+        ("delete", "a", 1),
+        ("insert", "a", 1),
+        ("insert", "e", 5),
+    ]
+    # multiset reconstruction from v0 reaches the live table exactly
+    state = Counter()
+    full = sink.read_changes(spark, from_version=0)
+    for r in full.collect():
+        k = (r["image_id"], r["v"], r["run"])
+        state[k] += 1 if r["_change_type"] == "insert" else -1
+    live = Counter(
+        (r["image_id"], r["v"], r["run"]) for r in sink.read(spark).collect()
+    )
+    assert Counter({k: n for k, n in state.items() if n}) == live
+
+
+def test_merge_retries_on_stale_snapshot(spark):
+    """A merge whose snapshot went stale re-derives: the rival's row is
+    preserved and the upsert still lands atomically."""
+    from gobulk_spark import txlog as txmod
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "mergestale"))
+    sink.write(
+        spark.createDataFrame(
+            [("a", "x", 1)], "image_id string, lang string, v int"
+        ),
+        "r1",
+    )
+    real_commit = TxLogKeptSink._commit
+    raced = {"done": False}
+
+    def racing_commit(self, spark_, entry, base_version=None):
+        if entry["op"] == "merge" and not raced["done"]:
+            raced["done"] = True
+            TxLogKeptSink(self.out_dir).write(
+                spark_.createDataFrame(
+                    [("z", "x", 9)], "image_id string, lang string, v int"
+                ),
+                "rival",
+            )
+        return real_commit(self, spark_, entry, base_version)
+
+    txmod.TxLogKeptSink._commit = racing_commit
+    try:
+        sink.merge(
+            spark,
+            "m1",
+            spark.createDataFrame(
+                [("a", "x", 10)], "image_id string, lang string, v int"
+            ),
+        )
+    finally:
+        txmod.TxLogKeptSink._commit = real_commit
+    assert raced["done"]
+    got = {(r["image_id"], r["v"]) for r in sink.read(spark).collect()}
+    assert got == {("a", 10), ("z", 9)}
