@@ -240,6 +240,8 @@ class TxLogKeptSink:
         merge_schema: bool = False,
         stats_columns: list[str] | None = None,
         bloom_columns: list[str] | None = None,
+        write_cluster_by: list[str] | None = None,
+        write_cluster_files: int | None = None,
     ):
         """``settings``: optional store-level properties (the analogue
         of ES index settings, resolved via
@@ -275,6 +277,17 @@ class TxLogKeptSink:
         # referenced from the commit entry, loaded lazily at query time
         self.bloom_columns = bloom_columns
         self._bloom_cache: dict[str, dict] = {}
+        # opt-in clustered ingest (Delta's optimized write): every
+        # write is range-partitioned + sorted on these columns, so the
+        # per-file bounds are tight and DISJOINT from the first commit
+        # — point/range predicates on the cluster key prune freshly-
+        # ingested data without waiting for an OPTIMIZE pass. Costs one
+        # extra shuffle per write; worth it exactly when the table's
+        # hot predicate is known at ingest (Delta's recommendation).
+        # ``write_cluster_files`` caps output files per write (None =
+        # the session's shuffle parallelism).
+        self.write_cluster_by = write_cluster_by
+        self.write_cluster_files = write_cluster_files
 
     # -- log primitives ----------------------------------------------------
 
@@ -567,6 +580,13 @@ class TxLogKeptSink:
         ]
         if not bcols or not stats:
             return
+        # the ONE Python-UDF site in this module: the build closure
+        # resolves _bloom_build on the WORKER, so the package must be
+        # importable there even when the sink is driven standalone
+        # (outside run_pipeline, which ships it at entry)
+        from . import deploy
+
+        deploy.ship(spark)
         types = {c: fields[c] for c in bcols}
 
         def build(pdf):
@@ -888,6 +908,21 @@ class TxLogKeptSink:
         spark = df.sparkSession
         fs = self._fs(spark)
         out = df.withColumn("run", F.lit(run_id))
+        if self.write_cluster_by:
+            missing = [
+                c for c in self.write_cluster_by if c not in out.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"write_cluster_by columns {missing} not in the "
+                    "written frame"
+                )
+            cols = [F.col(c) for c in self.write_cluster_by]
+            out = (
+                out.repartitionByRange(self.write_cluster_files, *cols)
+                if self.write_cluster_files
+                else out.repartitionByRange(*cols)
+            ).sortWithinPartitions(*cols)
         df_fields = {
             f.name: f.dataType.simpleString() for f in out.schema.fields
         }
@@ -1222,14 +1257,29 @@ class TxLogKeptSink:
         """The committed log, oldest first (Delta's DESCRIBE HISTORY)."""
         return self._entries(spark)
 
-    def vacuum(self, spark: SparkSession) -> int:
-        """Delete data files no longer live at the LATEST version —
-        the explicit retention cut that ends time travel to old
-        versions (Delta's VACUUM). Returns the number of files
-        removed."""
+    def vacuum(self, spark: SparkSession, retain_last: int = 0) -> int:
+        """Delete data files not live at any of the last
+        ``retain_last + 1`` versions — Delta's VACUUM with its RETAIN
+        window expressed in versions (wall-clock retention would need a
+        trusted clock across writers; version count is the log-native
+        unit). Time travel and change feeds older than the window end
+        where the reclaimed files begin; the retained window keeps
+        working. Returns the number of files removed.
+
+        The replay cost is driver-side JSON only — O(window × files)
+        dict work, no file footers."""
         fs = self._fs(spark)
-        live, ever, _, _ = self._state(spark)
-        dead = sorted(ever - set(live))
+        live, ever, last, _ = self._state(spark)
+        keep = set(live)
+        if retain_last and last:
+            versions = [
+                e["version"]
+                for e in self._entries(spark)
+                if e["version"] < last
+            ][-retain_last:]
+            for v in versions:
+                keep |= set(self._state(spark, v)[0])
+        dead = sorted(ever - keep)
         for rel in dead:
             fs.delete(self._abs(rel))
         return len(dead)

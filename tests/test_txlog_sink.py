@@ -1228,3 +1228,80 @@ def test_merge_retries_on_stale_snapshot(spark):
     assert raced["done"]
     got = {(r["image_id"], r["v"]) for r in sink.read(spark).collect()}
     assert got == {("a", 10), ("z", 9)}
+
+
+# -- vacuum retention window / clustered ingest ----------------------------
+
+
+def test_vacuum_retain_last_keeps_window_versions_readable(spark):
+    """vacuum(retain_last=k) reclaims only files dead in ALL of the
+    last k+1 versions: the retained window still time-travels exactly,
+    older versions end where the reclaimed files begin."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "vacret"))
+    sink.write(
+        spark.createDataFrame(
+            [("a", "x", 1), ("b", "x", 2)],
+            "image_id string, lang string, v int",
+        ),
+        "r1",
+    )
+    sink.delete(
+        spark, "r2", spark.createDataFrame([("a",)], "image_id string")
+    )
+    sink.write(
+        spark.createDataFrame(
+            [("c", "y", 3)], "image_id string, lang string, v int"
+        ),
+        "r2b",
+    )
+    # full-history window: nothing reclaimable
+    assert sink.vacuum(spark, retain_last=2) == 0
+    assert {r["image_id"] for r in sink.read(spark, version=1).collect()} == {
+        "a",
+        "b",
+    }
+    # window of 2 versions: v1's superseded file goes, v2 stays exact
+    assert sink.vacuum(spark, retain_last=1) == 1
+    assert {r["image_id"] for r in sink.read(spark, version=2).collect()} == {
+        "b"
+    }
+    assert {r["image_id"] for r in sink.read(spark).collect()} == {"b", "c"}
+
+
+def test_write_cluster_by_prunes_fresh_ingest_without_optimize(spark):
+    """Clustered ingest: one unsorted 100-row write lands as
+    range-disjoint files, so a point predicate prunes to ONE file on
+    the very first commit — no OPTIMIZE pass needed."""
+    import random
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(
+        os.path.join(BASE, "clusterw"),
+        write_cluster_by=["v"],
+        write_cluster_files=4,
+    )
+    rows = [(f"id{j}", "x", j) for j in range(100)]
+    random.Random(5).shuffle(rows)
+    sink.write(
+        spark.createDataFrame(rows, "image_id string, lang string, v int"),
+        "r1",
+    )
+    live = sink._state(spark)[0]
+    assert len(live) == 4
+    bounds = sorted(tag[3]["cols"]["v"][:2] for tag in live.values())
+    for (_, hi1), (lo2, _) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2, f"overlapping fresh-ingest ranges {bounds}"
+    kept, total, _ = sink.prune_files(spark, [("v", "=", 48)])
+    assert total == 4 and len(kept) == 1
+    got = sink.read(spark, predicates=[("v", "=", 48)]).collect()
+    assert [r["image_id"] for r in got] == ["id48"]
+    with pytest.raises(ValueError, match="write_cluster_by"):
+        TxLogKeptSink(
+            os.path.join(BASE, "clusterw2"), write_cluster_by=["nope"]
+        ).write(
+            spark.createDataFrame(
+                [("a", "x", 1)], "image_id string, lang string, v int"
+            ),
+            "r1",
+        )
