@@ -67,9 +67,10 @@ def dedup_exact_redeliveries(
     return decided.dropDuplicates(["image_id", "content_hash"])
 
 
-def probe_decided(decided: DataFrame) -> tuple[int, int, int]:
+def probe_decided(decided: DataFrame) -> tuple[int, int, int, int]:
     """One aggregate job answering every pre-store scalar probe:
-    (n_rows, n_distinct (id, hash) keys, n update/delete rows).
+    (n_rows, n_distinct (id, hash) keys, n update/delete rows,
+    n PURE delete rows).
 
     The first action over the freshly-persisted decided frame pays the
     full parse compute to populate the cache; folding the re-delivery
@@ -77,13 +78,16 @@ def probe_decided(decided: DataFrame) -> tuple[int, int, int]:
     fixed per-epoch job count down (the round-3 streaming profile:
     ~6 fixed jobs made a 7 s epoch floor at 5k rows). n_affected is
     probed PRE-dedup: dropping an exact duplicate copy never changes
-    whether any update/delete row exists."""
-    n_rows, n_keys, n_affected = decided.select(
+    whether any update/delete row exists. The pure-delete count gates
+    the Delete verb on merge-capable sinks, where updates are replaced
+    inside the merge commit and only true removals still need D."""
+    n_rows, n_keys, n_affected, n_pure = decided.select(
         F.count(F.lit(1)),
         F.count_distinct("image_id", "content_hash"),
         F.sum(F.col("action").isin("update", "delete").cast("long")),
+        F.sum((F.col("action") == "delete").cast("long")),
     ).first()
-    return n_rows, n_keys, int(n_affected or 0)
+    return n_rows, n_keys, int(n_affected or 0), int(n_pure or 0)
 
 
 def classify_actions(decided: DataFrame, existing_ids: DataFrame | None) -> DataFrame:
@@ -112,10 +116,18 @@ def classify_actions(decided: DataFrame, existing_ids: DataFrame | None) -> Data
     )
 
 
-def execute_deletes(spark: SparkSession, sink, run_id: str, decided: DataFrame) -> None:
-    """The D step: remove prior kept rows for every update/delete id
-    through the sink's Delete verb (sinks.KeptSink)."""
-    affected = decided.where(F.col("action").isin("update", "delete")).select(
+def execute_deletes(
+    spark: SparkSession,
+    sink,
+    run_id: str,
+    decided: DataFrame,
+    actions: tuple[str, ...] = ("update", "delete"),
+) -> None:
+    """The D step: remove prior kept rows for every ``actions`` id
+    through the sink's Delete verb (sinks.KeptSink). Merge-capable
+    sinks narrow this to ("delete",): updated ids are replaced inside
+    the merge commit itself."""
+    affected = decided.where(F.col("action").isin(*actions)).select(
         "image_id"
     )
     sink.delete(spark, run_id, affected)

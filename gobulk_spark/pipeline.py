@@ -311,8 +311,24 @@ def run_pipeline(
 
         # --- D: remove prior kept rows of update/delete ids (staged
         #        rewrite + atomic swap; idempotent under retry) ---------
+        # A merge-capable sink (supports_atomic_upsert) replaces
+        # updated ids INSIDE the upsert commit, so D narrows to pure
+        # deletes — one commit per run instead of two, and a reader
+        # never sees an updated id's delete-without-rewrite window
+        use_merge = bool(getattr(sink, "supports_atomic_upsert", False))
         if staged:  # only when update/delete rows exist (probe above)
-            _sub("delete", lambda: executor.execute_deletes(spark, sink, rid, decided))
+            if not use_merge:
+                _sub(
+                    "delete",
+                    lambda: executor.execute_deletes(spark, sink, rid, decided),
+                )
+            elif probe3 and probe3[3]:
+                _sub(
+                    "delete",
+                    lambda: executor.execute_deletes(
+                        spark, sink, rid, decided, actions=("delete",)
+                    ),
+                )
         # --- U + C: this run's kept rows land in the sink's run scope --
         # per-run overwrite = idempotent under store-phase retry even on
         # incremental runs (run 2's retry never touches run 1).
@@ -325,10 +341,18 @@ def run_pipeline(
         _fail_box: list = [None]
 
         def _write_kept() -> None:
-            f = sink.write(executor.kept_rows(decided, KEPT_COLUMNS), rid)
-            _fail_box[0] = executor.failures_frame(spark, f)
+            rows = executor.kept_rows(decided, KEPT_COLUMNS)
+            if use_merge:
+                # atomic upsert: replaces updated ids, appends creates;
+                # duplicate ids in one batch (same id, two contents —
+                # an ambiguous source) fail loudly instead of landing
+                # both rows as the per-run write path would
+                sink.merge(spark, rid, rows)
+            else:
+                f = sink.write(rows, rid)
+                _fail_box[0] = executor.failures_frame(spark, f)
 
-        _sub("write_kept", _write_kept)
+        _sub("merge_kept" if use_merge else "write_kept", _write_kept)
         failed_df = _fail_box[0]
         # bounded count for the commit manifest (the frame is either a
         # local relation or a staged-parquet read-back — one cheap job)

@@ -37,6 +37,12 @@ SOURCE_DDL = (
 MARKER_COMPACT_EVERY = 8
 
 
+def _use_merge(sink) -> bool:
+    """True for sinks that land the epoch's upsert as ONE atomic
+    commit (sink.merge) instead of the delete-then-write pair."""
+    return bool(getattr(sink, "supports_atomic_upsert", False))
+
+
 def _retry_root(out_dir: str) -> str:
     from ..lineage import _join
 
@@ -197,7 +203,7 @@ def _process_microbatch(
     # ONE probe job answers the re-delivery check AND the
     # update/delete-presence check (was two jobs against the ~6-job
     # fixed epoch floor)
-    _n_rows, _n_keys, n_affected = executor.probe_decided(decided)
+    _n_rows, _n_keys, n_affected, n_pure_del = executor.probe_decided(decided)
     decided = executor.dedup_exact_redeliveries(decided, probe=(_n_rows, _n_keys))
     if existing is not None:
         # materialize before deletes mutate the files decided's lineage
@@ -212,7 +218,16 @@ def _process_microbatch(
             persisted = False
             decided = spark.read.parquet(decided_path)
             staged = True
-            executor.execute_deletes(spark, sink, rid, decided)
+            # merge-capable sinks replace updated ids inside the epoch's
+            # upsert commit; only pure deletes still need the D verb —
+            # one commit per epoch instead of two, and half the log
+            # growth on an update-heavy stream
+            if not _use_merge(sink):
+                executor.execute_deletes(spark, sink, rid, decided)
+            elif n_pure_del:
+                executor.execute_deletes(
+                    spark, sink, rid, decided, actions=("delete",)
+                )
     # dead-letter drain: the stream checkpoint has already consumed the
     # source files of previously-failed rows, so — unlike batch, where
     # manifest withholding forces a source re-read — the ONLY in-stream
@@ -246,7 +261,11 @@ def _process_microbatch(
     # failures normalized to a DataFrame — all routing below is joins,
     # never driver-side id lists (a sink failing a whole epoch must not
     # become an isin() expression bomb); see executor.failures_frame
-    failed = executor.failures_frame(spark, sink.write(to_write, rid))
+    if _use_merge(sink):
+        sink.merge(spark, rid, to_write)
+        failed = None
+    else:
+        failed = executor.failures_frame(spark, sink.write(to_write, rid))
     failed_ids = failed.select("image_id").distinct() if failed is not None else None
     retried = None
     if pend is not None:

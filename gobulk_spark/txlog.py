@@ -238,6 +238,7 @@ class TxLogKeptSink:
         settings: dict | None = None,
         auto_compact_files: int | None = 64,
         merge_schema: bool = False,
+        atomic_upserts: bool = True,
         stats_columns: list[str] | None = None,
         bloom_columns: list[str] | None = None,
         write_cluster_by: list[str] | None = None,
@@ -288,6 +289,11 @@ class TxLogKeptSink:
         # the session's shuffle parallelism).
         self.write_cluster_by = write_cluster_by
         self.write_cluster_files = write_cluster_files
+        # advertise the one-commit upsert to the pipeline/streaming
+        # store phases: updated ids are replaced inside the merge
+        # commit, D narrows to pure deletes (opt-out restores the
+        # delete-then-write pair for A/B or compat)
+        self.supports_atomic_upsert = atomic_upserts
 
     # -- log primitives ----------------------------------------------------
 

@@ -76,9 +76,27 @@ def test_e2e_matches_parquet_sink_and_delete_rewrites(spark):
         a2.drop(columns=["run"]), b2.drop(columns=["run"])
     )
     assert a2["image_id"].is_unique
-    # the delete landed as remove+add in ONE commit
+    # the re-delivered (updated) ids landed as ONE atomic merge commit:
+    # matched files removed + rewrites/update files added together —
+    # never a delete commit followed by a separate write commit
     hist = sinks[out_a].history(spark)
-    dels = [e for e in hist if e["op"] == "delete"]
+    merges = [e for e in hist if e["op"] == "merge"]
+    assert len(merges) == 2  # r1: pure append; r2: the re-delivery
+    assert not merges[0]["remove"] and merges[0]["add"]
+    assert merges[1]["remove"] and merges[1]["add"]
+    assert not [e for e in hist if e["op"] == "delete"]
+    # opting out restores the delete-then-write pair
+    out_c = os.path.join(BASE, "c")
+    sink_c = TxLogKeptSink(out_c, atomic_upserts=False)
+    for r in ("r1", "r2"):
+        run_pipeline(
+            spark,
+            PipelineConfig(source_path=src, out_dir=out_c, run_id=r),
+            sink=sink_c,
+        )
+    c2 = _kept_frame(sink_c, spark)
+    pd.testing.assert_frame_equal(a2, c2)
+    dels = [e for e in sink_c.history(spark) if e["op"] == "delete"]
     assert dels and all(e["remove"] and "add" in e for e in dels)
 
 
