@@ -1063,11 +1063,15 @@ _TXLOG_STORES: set[str] = set()
 
 def _ensure_txlog_events_store(spark: SparkSession, sf_dir: str):
     """Deterministic txlog table over the events table, exercising the
-    full transaction-log lifecycle the driver should see: three write
-    commits (event_id mod 3), a MERGE-shaped delete (error events under
-    5.00), and OPTIMIZE cluster_by=user_id (range-clustered rewrite +
-    per-file stats). Rebuilt fresh once per process; ``value`` is
-    carried as integer cents so both engines aggregate exact BIGINTs."""
+    full transaction-log lifecycle the driver should see: three
+    range-CLUSTERED write commits (event_id mod 3, write_cluster_by
+    user_id), a MERGE-shaped delete (error events under 5.00), a MERGE
+    upsert (sub-20-user purchases re-priced ×2 in the same commit that
+    appends two synthetic rows), and OPTIMIZE cluster_by=user_id.
+    image_id carries per-file bloom sidecars, so the point-lookup leg
+    of the pruned query skips on blooms where min/max cannot. Rebuilt
+    fresh once per process; ``value`` is carried as integer cents so
+    both engines aggregate exact BIGINTs."""
     import shutil
 
     from gobulk_spark.txlog import TxLogKeptSink
@@ -1076,7 +1080,13 @@ def _ensure_txlog_events_store(spark: SparkSession, sf_dir: str):
         "/tmp/gobulk_spark_txlog_stores",
         os.path.basename(os.path.normpath(sf_dir)),
     )
-    sink = TxLogKeptSink(root, auto_compact_files=None)
+    sink = TxLogKeptSink(
+        root,
+        auto_compact_files=None,
+        bloom_columns=["image_id"],
+        write_cluster_by=["user_id"],
+        write_cluster_files=4,
+    )
     if root in _TXLOG_STORES:
         return sink
     shutil.rmtree(root, ignore_errors=True)
@@ -1093,6 +1103,17 @@ def _ensure_txlog_events_store(spark: SparkSession, sf_dir: str):
         (F.col("event_type") == "error") & (F.col("value_cents") < 500)
     ).select("image_id")
     sink.delete(spark, "purge", victims)
+    upd = (
+        sink.read(spark)
+        .where((F.col("event_type") == "purchase") & (F.col("user_id") < 20))
+        .drop("run")
+        .withColumn("value_cents", F.col("value_cents") * F.lit(2))
+    )
+    syn = spark.createDataFrame(
+        [("syn-1", 15, "purchase", 111), ("syn-2", 25, "signup", 222)],
+        "image_id string, user_id bigint, event_type string, value_cents bigint",
+    )
+    sink.merge(spark, "fixup", upd.unionByName(syn))
     sink.optimize(spark, target_file_bytes=1 << 20, cluster_by=["user_id"])
     _TXLOG_STORES.add(root)
     return sink
@@ -1101,19 +1122,36 @@ def _ensure_txlog_events_store(spark: SparkSession, sf_dir: str):
 def q_txlog_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip through the from-scratch transaction-log table format
     (gobulk_spark/txlog.py), driver-checked against DuckDB reading the
-    ORIGINAL parquet: 3 write commits + MERGE delete + clustered
-    OPTIMIZE, then a min/max-stats predicate-pruned read (files whose
-    recorded bounds exclude the range are never opened) aggregated per
-    event type. Equality proves the log replay, the delete rewrite, the
-    clustered compaction AND the file skipping are all content-exact."""
+    ORIGINAL parquet: 3 clustered write commits + MERGE delete + MERGE
+    upsert (re-price + append in one commit) + clustered OPTIMIZE, then
+    (a) a min/max-stats range-pruned read aggregated per event type and
+    (b) a bloom-skipped image_id point lookup. Equality proves the log
+    replay, both merge rewrites, the clustered compaction AND both file-
+    skipping tiers are all content-exact."""
     sink = _ensure_txlog_events_store(spark, sf_dir)
     df = sink.read(
         spark, predicates=[("user_id", ">=", 10), ("user_id", "<", 40)]
     )
-    return df.groupBy("event_type").agg(
+    rollup = df.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum("value_cents").alias("sum_cents"),
     )
+    # point-lookup leg: an image_id EQUALITY read — the probe the
+    # bloom sidecars skip on (min/max bounds are useless for a point
+    # key once the table is clustered by user_id). The target id is
+    # data-derived (max numeric id) so both engines compute it
+    mx = (
+        sink.read(spark)
+        .agg(F.max(F.expr("try_cast(image_id as bigint)")))
+        .first()[0]
+    )
+    point = sink.read(
+        spark, predicates=[("image_id", "=", str(mx))]
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_cents").alias("sum_cents"),
+    ).select(F.lit("__point__").alias("event_type"), "n_events", "sum_cents")
+    return rollup.unionByName(point)
 
 
 def q_txlog_change_feed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1718,21 +1756,42 @@ def oracle_sql() -> dict[str, str]:
         # deleted error events under 5.00; cents as BIGINT keeps both
         # engines in exact integer arithmetic
         "txlog_pruned_rollup": """
-            SELECT event_type,
-                   COUNT(*) AS n_events,
-                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                       AS sum_cents
-            FROM events
+            WITH surv AS (
+                SELECT event_id, user_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+                WHERE NOT (event_type = 'error'
+                           AND CAST(round(value * 100) AS BIGINT) < 500)
+            ), merged AS (
+                SELECT CAST(event_id AS VARCHAR) AS image_id, user_id,
+                       event_type,
+                       CASE WHEN event_type = 'purchase' AND user_id < 20
+                            THEN cents * 2 ELSE cents END AS cents
+                FROM surv
+                UNION ALL SELECT 'syn-1', 15, 'purchase', 111
+                UNION ALL SELECT 'syn-2', 25, 'signup', 222
+            )
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM merged
             WHERE user_id >= 10 AND user_id < 40
-              AND NOT (event_type = 'error'
-                       AND CAST(round(value * 100) AS BIGINT) < 500)
             GROUP BY event_type
+            UNION ALL
+            SELECT '__point__', COUNT(*), CAST(SUM(cents) AS BIGINT)
+            FROM merged
+            WHERE image_id = (SELECT CAST(max(event_id) AS VARCHAR)
+                              FROM surv)
         """,
         "txlog_change_feed_rollup": """
             SELECT event_type, COUNT(*) AS n
-            FROM events
-            WHERE NOT (event_type = 'error'
-                       AND CAST(round(value * 100) AS BIGINT) < 500)
+            FROM (
+                SELECT event_type
+                FROM events
+                WHERE NOT (event_type = 'error'
+                           AND CAST(round(value * 100) AS BIGINT) < 500)
+                UNION ALL SELECT 'purchase'
+                UNION ALL SELECT 'signup'
+            )
             GROUP BY event_type
         """,
         # constant-row oracles for the invariant gates: the VALUES are
