@@ -1290,12 +1290,58 @@ class TxLogKeptSink:
             fs.delete(self._abs(rel))
         return len(dead)
 
+    #: column types the z-order bucketizer accepts (width_bucket over a
+    #: double cast; strings need a collation-aware rank — out of scope)
+    _ZORDER_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+    def _zorder_key(
+        self, df: DataFrame, cols: list[str], bits: int
+    ):
+        """Morton key: each column is equi-width-bucketed into 2^bits
+        cells (ONE min/max agg job for the bounds, then pure JVM
+        ``width_bucket`` — Delta's ZORDER uses range ids the same way),
+        and the per-column bucket bits are interleaved with
+        shiftleft/and/or expressions. Everything stays inside
+        whole-stage codegen; no UDF, no window."""
+        n = 1 << bits
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.min(F.col(c).cast("double")),
+                F.max(F.col(c).cast("double")),
+            ]
+        row = df.select(aggs).first()
+        k = len(cols)
+        key = None
+        for i, c in enumerate(cols):
+            lo, hi = row[2 * i], row[2 * i + 1]
+            if lo is None or hi is None or not hi > lo:
+                continue  # constant/all-null column: contributes nothing
+            bucket = F.coalesce(
+                F.least(
+                    F.expr(
+                        f"width_bucket(cast({c} as double), "
+                        f"{float(lo)!r}, {float(hi)!r}, {n}) - 1"
+                    ),
+                    F.lit(n - 1),
+                ).cast("long"),
+                F.lit(0).cast("long"),  # nulls sort into the first cell
+            )
+            for j in range(bits):
+                term = F.shiftleft(
+                    F.shiftright(bucket, j).bitwiseAND(F.lit(1)), j * k + i
+                )
+                key = term if key is None else key.bitwiseOR(term)
+        return key if key is not None else F.lit(0).cast("long")
+
     def optimize(
         self,
         spark: SparkSession,
         target_file_bytes: int = 128 << 20,
         small_file_bytes: int | None = None,
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 8,
     ) -> int:
         """Bin-pack small live files into ~``target_file_bytes`` ones
         (Delta's OPTIMIZE / Iceberg's rewrite_data_files). Streaming
@@ -1314,19 +1360,29 @@ class TxLogKeptSink:
         stream the small files into the packed ones.
 
         ``cluster_by``: sort-cluster the packed output on these columns
-        (Delta's OPTIMIZE ZORDER BY, linearized): a range repartition +
-        within-partition sort gives the output files DISJOINT value
-        ranges, so the per-file min/max stats every commit records turn
-        point/range predicates into O(1)-file reads instead of table
-        scans. Costs one shuffle of the compacted rows — the same
-        premium real ZORDER pays — where the default bin-pack is a
-        shuffle-free ``coalesce``.
+        (linearized): a range repartition + within-partition sort gives
+        the output files DISJOINT value ranges, so the per-file min/max
+        stats every commit records turn point/range predicates into
+        O(1)-file reads instead of table scans. Costs one shuffle of
+        the compacted rows — the same premium real ZORDER pays — where
+        the default bin-pack is a shuffle-free ``coalesce``.
+
+        ``zorder_by``: TRUE multi-dimensional clustering (Delta's
+        OPTIMIZE ZORDER BY): rows are range-partitioned on a Morton
+        key interleaving each column's equi-width bucket bits, so every
+        output file covers a compact cell in the k-dim value space and
+        the recorded min/max bounds prune on EVERY listed column — a
+        lexicographic ``cluster_by [x, y]`` gives y no pruning power at
+        all once x varies. Numeric columns only; mutually exclusive
+        with ``cluster_by``.
 
         Returns the number of files compacted away (0 = nothing to do).
         """
         import math
 
         fs = self._fs(spark)
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are exclusive")
         if small_file_bytes is None:
             small_file_bytes = target_file_bytes // 2
         for _ in range(MAX_COMMIT_ATTEMPTS):
@@ -1340,7 +1396,7 @@ class TxLogKeptSink:
                 p: tag[2] if tag[2] is not None else fs.size(self._abs(p))
                 for p, tag in live.items()
             }
-            if cluster_by:
+            if cluster_by or zorder_by:
                 # clustering is a layout rewrite, not a size fix: every
                 # live file participates so the output ranges are
                 # disjoint across the WHOLE table (Delta ZORDER rewrites
@@ -1350,7 +1406,7 @@ class TxLogKeptSink:
                 small = sorted(p for p in live if sizes[p] < small_file_bytes)
             total = sum(sizes[p] for p in small)
             n_out = max(1, math.ceil(total / target_file_bytes))
-            if not cluster_by and len(small) <= n_out:
+            if not cluster_by and not zorder_by and len(small) <= n_out:
                 return 0  # packing would not reduce the file count
             rel = f"data/opt-{uuid.uuid4().hex[:8]}"
             abs_dir = self._abs(rel)
@@ -1369,6 +1425,28 @@ class TxLogKeptSink:
                 df = df.repartitionByRange(
                     n_out, *cluster_by
                 ).sortWithinPartitions(*cluster_by)
+            elif zorder_by:
+                fields = _ddl_to_fields(spark, schema) if schema else {}
+                bad = [
+                    c
+                    for c in zorder_by
+                    if fields.get(c) not in self._ZORDER_TYPES
+                ]
+                if bad:
+                    raise ValueError(
+                        f"zorder_by columns {bad} missing or non-numeric"
+                    )
+                # same one range shuffle as cluster_by, but on the
+                # Morton key: each output file is a compact k-dim cell,
+                # so min/max bounds prune on every zorder column
+                df = (
+                    df.withColumn(
+                        "_zk", self._zorder_key(df, zorder_by, zorder_bits)
+                    )
+                    .repartitionByRange(n_out, F.col("_zk"))
+                    .sortWithinPartitions("_zk")
+                    .drop("_zk")
+                )
             else:
                 df = df.coalesce(n_out)
             df.write.mode("overwrite").parquet(abs_dir)

@@ -1323,3 +1323,48 @@ def test_write_cluster_by_prunes_fresh_ingest_without_optimize(spark):
             ),
             "r1",
         )
+
+
+def test_optimize_zorder_prunes_on_every_listed_column(spark):
+    """TRUE multi-dim clustering: after ZORDER over (x, y), each output
+    file covers a compact 2-D tile, so min/max bounds prune BOTH a
+    rectangle query and a y-only query — lexicographic cluster_by [x,y]
+    gives y no pruning power once x varies. Content-preserving."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "zord"))
+    rows = [(f"id{i}", i % 64, i // 64) for i in range(4096)]
+    sink.write(
+        spark.createDataFrame(rows, "image_id string, x int, y int").coalesce(2),
+        "r1",
+    )
+    before = _kept_frame(sink, spark)
+    n = sink.optimize(
+        spark, target_file_bytes=1500, zorder_by=["x", "y"], zorder_bits=8
+    )
+    assert n == 2
+    live = sink._state(spark)[0]
+    total = len(live)
+    assert total >= 8, f"expected a multi-file layout, got {total}"
+    # rectangle query: both dimensions prune together
+    kept, _, _ = sink.prune_files(
+        spark, [("x", ">=", 0), ("x", "<", 16), ("y", ">=", 0), ("y", "<", 16)]
+    )
+    assert len(kept) <= max(2, total // 4), (len(kept), total)
+    # y-ONLY predicate prunes too (the dimension lexicographic
+    # clustering on [x, y] would never prune)
+    kept_y, _, _ = sink.prune_files(spark, [("y", "<", 8)])
+    assert len(kept_y) <= total // 2, (len(kept_y), total)
+    # exactness: pruned read == full filter
+    got = sorted(
+        r["image_id"]
+        for r in sink.read(
+            spark, predicates=[("x", "<", 4), ("y", "<", 4)]
+        ).collect()
+    )
+    want = sorted(f"id{yy * 64 + xx}" for xx in range(4) for yy in range(4))
+    assert got == want
+    pd.testing.assert_frame_equal(before, _kept_frame(sink, spark))
+    with pytest.raises(ValueError, match="exclusive"):
+        sink.optimize(spark, cluster_by=["x"], zorder_by=["y"])
+    with pytest.raises(ValueError, match="non-numeric"):
+        sink.optimize(spark, zorder_by=["image_id"])
