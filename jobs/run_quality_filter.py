@@ -49,6 +49,16 @@ def main() -> None:
                          "the latest version (ends time travel) and exit")
     ap.add_argument("--target-file-mb", type=int, default=128,
                     help="--optimize packing target per output file")
+    ap.add_argument("--cluster-by", type=str, default=None,
+                    help="--optimize: comma-separated columns for a "
+                         "linearized sort-cluster rewrite (1-D pruning)")
+    ap.add_argument("--zorder-by", type=str, default=None,
+                    help="--optimize: comma-separated NUMERIC columns "
+                         "for a Morton-order rewrite (every listed "
+                         "column prunes)")
+    ap.add_argument("--retain-last", type=int, default=0,
+                    help="--vacuum: keep the last N+1 versions "
+                         "time-travelable (0 = latest only)")
     ap.add_argument("--arrow-batch-rows", type=int, default=2048)
     ap.add_argument("--sink", choices=["parquet", "partitioned-retry", "txlog"],
                     default="parquet",
@@ -84,10 +94,19 @@ def main() -> None:
         out = {"out": args.out}
         if args.optimize:
             out["compacted_files"] = tx.optimize(
-                spark, target_file_bytes=args.target_file_mb << 20
+                spark,
+                target_file_bytes=args.target_file_mb << 20,
+                cluster_by=(
+                    args.cluster_by.split(",") if args.cluster_by else None
+                ),
+                zorder_by=(
+                    args.zorder_by.split(",") if args.zorder_by else None
+                ),
             )
         if args.vacuum:
-            out["vacuumed_files"] = tx.vacuum(spark)
+            out["vacuumed_files"] = tx.vacuum(
+                spark, retain_last=args.retain_last
+            )
         print(json.dumps(out))
         spark.stop()
         return
