@@ -766,6 +766,56 @@ class TxLogKeptSink:
             and not self._bloom_excludes(spark, p, tag[3], predicates, fields)
         ]
 
+    #: dynamic-file-pruning cap: above this many distinct keys a
+    #: delete/merge just scans the live set (the driver-side per-file
+    #: probe is O(files x keys) — bounded work only for point-ish ops)
+    _DFP_KEY_CAP = 256
+
+    def _files_possibly_containing(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        fields: dict,
+        key: str,
+        values: list,
+    ) -> list[str]:
+        """Dynamic file pruning for a SMALL key set (Delta's DFP, from
+        log metadata alone): a file is a candidate iff at least one key
+        survives its min/max bounds AND its bloom — so a 100-id delete
+        against a clustered 10^6-file table opens the bloom-hit files,
+        not the table. Conservative: unknown stats keep the file."""
+        out = []
+        for p, tag in snap.items():
+            for v in values:
+                pred = [(key, "=", v)]
+                if self._file_matches(
+                    tag[3], pred, fields
+                ) and not self._bloom_excludes(spark, p, tag[3], pred, fields):
+                    out.append(p)
+                    break
+        return sorted(out)
+
+    def _dfp_candidates(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        log_schema: str | None,
+        keys: DataFrame,
+        key: str,
+    ) -> list[str] | None:
+        """The live-file subset a small ``keys`` frame could touch, or
+        None when the key set exceeds the cap (caller scans everything).
+        One bounded collect (cap+1 rows) decides which."""
+        vals = [
+            r[key] for r in keys.limit(self._DFP_KEY_CAP + 1).collect()
+        ]
+        if len(vals) > self._DFP_KEY_CAP:
+            return None
+        fields = _ddl_to_fields(spark, log_schema) if log_schema else {}
+        if key not in fields:
+            return None
+        return self._files_possibly_containing(spark, snap, fields, key, vals)
+
     def prune_files(
         self,
         spark: SparkSession,
@@ -1039,8 +1089,16 @@ class TxLogKeptSink:
             snap, _, base_version, last_schema = self._state(spark)
             if not base_version or not snap:
                 return
-            paths = {self._abs(p): p for p in snap}
-            live = self._read_files(spark, list(snap), last_schema).withColumn(
+            # dynamic file pruning: a small victim set probes the log's
+            # stats + blooms and scans only candidate files
+            cand = self._dfp_candidates(
+                spark, snap, last_schema, keys, "image_id"
+            )
+            scan_files = sorted(snap) if cand is None else cand
+            if not scan_files:
+                return  # no live file can hold a victim
+            paths = {self._abs(p): p for p in scan_files}
+            live = self._read_files(spark, scan_files, last_schema).withColumn(
                 "_f", F.input_file_name()
             )
             affected_abs = [
@@ -1163,21 +1221,28 @@ class TxLogKeptSink:
             appended = sorted(add_map)
             removed: list[str] = []
             if snap:
-                # matched files: ONE semi-join over the live set finds
-                # exactly the files holding a matched key — only those
-                # are rewritten, everything else is untouched metadata
-                kept_files = sorted(snap)
+                # matched files: ONE semi-join over the candidate set
+                # finds exactly the files holding a matched key — only
+                # those are rewritten. Dynamic file pruning bounds the
+                # candidates first: a small update set probes the log's
+                # stats + blooms instead of scanning the live set
+                cand = self._dfp_candidates(
+                    spark, snap, log_schema, keys, key
+                )
+                kept_files = sorted(snap) if cand is None else cand
+                hit_abs: list[str] = []
                 paths = {self._abs(p): p for p in kept_files}
-                live_rows = self._read_files(
-                    spark, kept_files, log_schema
-                ).withColumn("_f", F.input_file_name())
-                hit_abs = [
-                    r["_f"]
-                    for r in live_rows.join(keys, key, "left_semi")
-                    .select("_f")
-                    .distinct()
-                    .collect()
-                ]
+                if kept_files:
+                    live_rows = self._read_files(
+                        spark, kept_files, log_schema
+                    ).withColumn("_f", F.input_file_name())
+                    hit_abs = [
+                        r["_f"]
+                        for r in live_rows.join(keys, key, "left_semi")
+                        .select("_f")
+                        .distinct()
+                        .collect()
+                    ]
                 by_path = {
                     a.split("://")[-1].lstrip("/"): rel
                     for a, rel in paths.items()

@@ -1368,3 +1368,59 @@ def test_optimize_zorder_prunes_on_every_listed_column(spark):
         sink.optimize(spark, cluster_by=["x"], zorder_by=["y"])
     with pytest.raises(ValueError, match="non-numeric"):
         sink.optimize(spark, zorder_by=["image_id"])
+
+
+def test_point_delete_and_merge_scan_only_candidate_files(spark):
+    """Dynamic file pruning: a small victim/update key set probes the
+    log's stats + blooms and the discovery semi-join opens only the
+    candidate files — on a table whose id bounds span every file, the
+    blooms are what bound the scan."""
+    from gobulk_spark import txlog as txmod
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(
+        os.path.join(BASE, "dfp"),
+        write_cluster_by=["v"],
+        write_cluster_files=4,
+        bloom_columns=["image_id"],
+    )
+    # ids are a scattered permutation of the v order, so every file's
+    # [min,max] id bounds cover the whole id space: only blooms prune
+    rows = [(f"im-{(j * 7) % 400:04d}", "x", j) for j in range(400)]
+    sink.write(
+        spark.createDataFrame(rows, "image_id string, lang string, v int"),
+        "r1",
+    )
+    total = len(sink._state(spark)[0])
+    assert total == 4
+    reads: list[list[str]] = []
+    orig = TxLogKeptSink._read_files
+
+    def spy(self, spark_, rels, schema_ddl=None):
+        reads.append(sorted(rels))
+        return orig(self, spark_, rels, schema_ddl)
+
+    txmod.TxLogKeptSink._read_files = spy
+    try:
+        sink.delete(
+            spark,
+            "d1",
+            spark.createDataFrame([("im-0007",)], "image_id string"),
+        )
+        discovery_delete = reads[0]
+        reads.clear()
+        sink.merge(
+            spark,
+            "m1",
+            spark.createDataFrame(
+                [("im-0014", "x", -1)], "image_id string, lang string, v int"
+            ),
+        )
+        discovery_merge = reads[0]
+    finally:
+        txmod.TxLogKeptSink._read_files = orig
+    assert len(discovery_delete) <= 2, discovery_delete
+    assert len(discovery_merge) <= 2, discovery_merge
+    got = {r["image_id"]: r["v"] for r in sink.read(spark).collect()}
+    assert "im-0007" not in got and got["im-0014"] == -1
+    assert len(got) == 399
