@@ -812,7 +812,12 @@ def q_flagship_f1_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = "/tmp/gobulk_spark_test_corpora/n1500"
     path = _ensure(d, 1500, seed=42)
-    out = "/tmp/gobulk_spark_flagship_f1_gate"
+    # per-application out dir: concurrent sessions must not race
+    # rmtree against each other's pipeline reads (see ANN store gate)
+    out = (
+        "/tmp/gobulk_spark_flagship_f1_gate-"
+        f"{spark.sparkContext.applicationId}"
+    )
     _sh.rmtree(out, ignore_errors=True)
     _run(spark, _Cfg(source_path=path, out_dir=out, run_id="f1gate"))
     audit = _lineage.read_audit(spark, out).toPandas()
@@ -1076,8 +1081,13 @@ def _ensure_txlog_events_store(spark: SparkSession, sf_dir: str):
 
     from gobulk_spark.txlog import TxLogKeptSink
 
+    # per-application store path (same isolation as the ANN store
+    # gate): a driver-gate session and a concurrent pytest sweep must
+    # never race rmtree against each other's reads; applicationId is
+    # stable within a session so the process cache still reuses it
     root = os.path.join(
-        "/tmp/gobulk_spark_txlog_stores",
+        "/tmp/gobulk_spark_txlog_stores-"
+        f"{spark.sparkContext.applicationId}",
         os.path.basename(os.path.normpath(sf_dir)),
     )
     sink = TxLogKeptSink(

@@ -67,10 +67,11 @@ def dedup_exact_redeliveries(
     return decided.dropDuplicates(["image_id", "content_hash"])
 
 
-def probe_decided(decided: DataFrame) -> tuple[int, int, int, int]:
+def probe_decided(decided: DataFrame) -> tuple[int, int, int, int, int, int]:
     """One aggregate job answering every pre-store scalar probe:
     (n_rows, n_distinct (id, hash) keys, n update/delete rows,
-    n PURE delete rows).
+    n PURE delete rows, n distinct KEPT (id, hash) pairs, n distinct
+    KEPT ids).
 
     The first action over the freshly-persisted decided frame pays the
     full parse compute to populate the cache; folding the re-delivery
@@ -80,14 +81,90 @@ def probe_decided(decided: DataFrame) -> tuple[int, int, int, int]:
     probed PRE-dedup: dropping an exact duplicate copy never changes
     whether any update/delete row exists. The pure-delete count gates
     the Delete verb on merge-capable sinks, where updates are replaced
-    inside the merge commit and only true removals still need D."""
-    n_rows, n_keys, n_affected, n_pure = decided.select(
+    inside the merge commit and only true removals still need D. The
+    kept pair/id counts gate resolve_conflicting_ids: pairs > ids
+    means one id carries two different kept contents in this batch."""
+    kept = F.col("action").isin("update", "create")
+    n_rows, n_keys, n_affected, n_pure, n_kept_pairs, n_kept_ids = decided.select(
         F.count(F.lit(1)),
         F.count_distinct("image_id", "content_hash"),
         F.sum(F.col("action").isin("update", "delete").cast("long")),
         F.sum((F.col("action") == "delete").cast("long")),
+        F.count_distinct(F.when(kept, F.struct("image_id", "content_hash"))),
+        F.count_distinct(F.when(kept, F.col("image_id"))),
     ).first()
-    return n_rows, n_keys, int(n_affected or 0), int(n_pure or 0)
+    return (
+        n_rows,
+        n_keys,
+        int(n_affected or 0),
+        int(n_pure or 0),
+        int(n_kept_pairs or 0),
+        int(n_kept_ids or 0),
+    )
+
+
+def resolve_conflicting_ids(
+    decided: DataFrame, probe: tuple[int, int] | None = None
+) -> DataFrame:
+    """Same image_id arriving with DIFFERENT kept content in ONE batch
+    — two source files claiming one id, with no happened-before order
+    to arbitrate. The row with the max content_hash survives
+    (order-invariant, and the SAME tie-break _merge_marker_frames uses,
+    so the marker's surviving pair is the store's surviving row); the
+    losers become issue rows, visible in the audit and excluded from
+    the kept store. gobulk's tracker absorbs these as Conflicted
+    (tracker/gorm.go:121). Without this, a merge-capable sink refuses
+    the duplicate-key upsert — correct for a one-shot batch, but a
+    poison pill in streaming, where the checkpoint re-delivers the
+    identical epoch forever.
+
+    Gated like dedup_exact_redeliveries: the window shuffle is paid
+    only when the probe (foldable into probe_decided's single job)
+    finds an actual collision.
+
+    ``probe``: precomputed (n_kept_pairs, n_kept_ids)."""
+    from pyspark.sql import Window
+
+    kept = F.col("action").isin("update", "create")
+    if probe is not None:
+        n_pairs, n_ids = probe
+    else:
+        n_pairs, n_ids = decided.select(
+            F.count_distinct(
+                F.when(kept, F.struct("image_id", "content_hash"))
+            ),
+            F.count_distinct(F.when(kept, F.col("image_id"))),
+        ).first()
+    if int(n_pairs or 0) == int(n_ids or 0):
+        return decided
+    # kept rows sort first within the id, so ranks 1..k are exactly the
+    # competing kept siblings; rank 1 = the max-hash winner. Hashes are
+    # distinct within an id here (exact duplicates were collapsed by
+    # dedup_exact_redeliveries), so the order is total.
+    w = Window.partitionBy("image_id").orderBy(
+        kept.desc(), F.col("content_hash").desc()
+    )
+    out = decided.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_winner_hash", F.first("content_hash").over(w)
+    )
+    loser = kept & (F.col("_rn") > 1)
+    note = F.concat(
+        F.lit("conflicting content within one batch: superseded by "),
+        F.lit("deterministic sibling "),
+        F.col("_winner_hash"),
+    )
+    return (
+        out.withColumn(
+            "issue_note", F.when(loser, note).otherwise(F.col("issue_note"))
+        )
+        .withColumn(
+            "keep", F.when(loser, F.lit(False)).otherwise(F.col("keep"))
+        )
+        .withColumn(
+            "action", F.when(loser, F.lit("issue")).otherwise(F.col("action"))
+        )
+        .drop("_rn", "_winner_hash")
+    )
 
 
 def classify_actions(decided: DataFrame, existing_ids: DataFrame | None) -> DataFrame:

@@ -294,6 +294,13 @@ def run_pipeline(
         decided = executor.dedup_exact_redeliveries(
             decided, probe=probe3[:2] if probe3 else None
         )
+        # distinct-content siblings of one id (dedup above only folds
+        # IDENTICAL copies): deterministic winner, losers become issue
+        # rows — a merge sink would otherwise refuse the duplicate-key
+        # upsert, and a plain sink would land two rows under one id
+        decided = executor.resolve_conflicting_ids(
+            decided, probe=probe3[4:6] if probe3 else None
+        )
         if cfg.stop_on_error:
             n_issue = decided.where(F.col("action") == "issue").count()
             if n_issue:
@@ -343,10 +350,11 @@ def run_pipeline(
         def _write_kept() -> None:
             rows = executor.kept_rows(decided, KEPT_COLUMNS)
             if use_merge:
-                # atomic upsert: replaces updated ids, appends creates;
-                # duplicate ids in one batch (same id, two contents —
-                # an ambiguous source) fail loudly instead of landing
-                # both rows as the per-run write path would
+                # atomic upsert: replaces updated ids, appends creates.
+                # Duplicate ids cannot reach here: resolve_conflicting_
+                # ids collapsed same-id different-content siblings to
+                # the deterministic winner (merge itself still refuses
+                # duplicates as a backstop)
                 sink.merge(spark, rid, rows)
             else:
                 f = sink.write(rows, rid)

@@ -203,8 +203,21 @@ def _process_microbatch(
     # ONE probe job answers the re-delivery check AND the
     # update/delete-presence check (was two jobs against the ~6-job
     # fixed epoch floor)
-    _n_rows, _n_keys, n_affected, n_pure_del = executor.probe_decided(decided)
+    (
+        _n_rows,
+        _n_keys,
+        n_affected,
+        n_pure_del,
+        _n_kept_pairs,
+        _n_kept_ids,
+    ) = executor.probe_decided(decided)
     decided = executor.dedup_exact_redeliveries(decided, probe=(_n_rows, _n_keys))
+    # distinct-content siblings of one id: deterministic winner, losers
+    # routed as issues — without this, sink.merge refuses the duplicate
+    # key and the failing epoch re-delivers from the checkpoint FOREVER
+    decided = executor.resolve_conflicting_ids(
+        decided, probe=(_n_kept_pairs, _n_kept_ids)
+    )
     if existing is not None:
         # materialize before deletes mutate the files decided's lineage
         # reads (see pipeline.py store phase) — but only when deletes

@@ -136,15 +136,20 @@ def _bloom_m_bits(n_distinct: int) -> int:
 def _bloom_hashes(values, type_name: str):
     """(h1, h2) uint64 arrays for ``values`` — the ONE hashing
     convention shared by the executor-side build and the driver-side
-    probe. Values are first coerced to the column's storage dtype so
-    a Python int probes the same bytes an int64 column hashed."""
+    probe. Integers hash by their decimal-string form: exact at any
+    magnitude, immune to the arrow->pandas float64 upcast a NULLABLE
+    int column suffers inside the executor build (int64 round-tripped
+    through float64 is lossy past 2^53 — a phash-sized key would
+    probe a different hash than it was built with, and a bloom false
+    NEGATIVE silently drops rows from reads and leaves delete/merge
+    victims alive)."""
     import numpy as np
     import pandas as pd
 
     if type_name == "string":
         arr = np.asarray(values, dtype=object)
     else:
-        arr = np.asarray(values, dtype=np.int64)
+        arr = np.asarray([str(int(v)) for v in values], dtype=object)
     h1 = pd.util.hash_array(arr, hash_key=_BLOOM_KEY1, categorize=False)
     h2 = pd.util.hash_array(arr, hash_key=_BLOOM_KEY2, categorize=False) | 1
     return h1, h2
@@ -188,6 +193,30 @@ def _bloom_might_contain(m: int, bits: bytes, value, type_name: str) -> bool:
         if not (bits[pos >> 3] >> (pos & 7)) & 1:
             return False
     return True
+
+
+def _uri_rel_mapper(paths: dict[str, str]):
+    """URI -> rel resolver over ``paths`` (absolute path -> rel).
+    ``input_file_name()`` returns a URI (file:///..., hdfs://...,
+    s3a://...); lookup is O(1) on the scheme-stripped path, with a
+    suffix scan only as the fallback for exotic URI normalizations.
+    The ONE mapping backing stats, blooms, the write purge, delete and
+    merge — the commit paths must never disagree about which file a
+    rewrite removed."""
+    by_path = {
+        a.split("://")[-1].lstrip("/"): rel for a, rel in paths.items()
+    }
+
+    def rel_of(uri: str) -> str:
+        hit = by_path.get(uri.split("://")[-1].lstrip("/"))
+        if hit is not None:
+            return hit
+        for a, rel in paths.items():
+            if uri.endswith(a) or uri.endswith(a.lstrip("/")):
+                return rel
+        raise KeyError(f"unmapped input file {uri}")
+
+    return rel_of
 
 
 def apply_changes_to_rollup(
@@ -415,6 +444,27 @@ class TxLogKeptSink:
     # ``delete``-rewrite files are tagged by the deleting run but carry
     # prior runs' rows, so only write-adds supersede.
 
+    def _settings_for_commit(self, fs: Fs) -> dict:
+        """Settings a new commit entry records: what this instance
+        declares, or — when it declares none — the store's recorded
+        settings carried FORWARD. A default-constructed maintenance
+        sink (the CLI's --optimize/--vacuum/--delete path) must not
+        stamp {} over a settings-carrying store: the next writer's
+        validate reads the LAST entry's settings, would see {}, and
+        reject its own store — bricked by its own maintenance job."""
+        if self.settings:
+            return self.settings
+        names = self._entry_names(fs)
+        if not names:
+            return self.settings
+        try:
+            last = json.loads(
+                fs.read_text(lineage._join(self.log_dir, names[-1]))
+            )
+        except Exception:
+            return self.settings
+        return last.get("settings", {}) or {}
+
     def _commit(
         self, spark: SparkSession, entry: dict, base_version: int | None = None
     ) -> int | None:
@@ -482,14 +532,23 @@ class TxLogKeptSink:
 
     def _stats_cols(self, fields: dict[str, str]) -> list[str]:
         if self.stats_columns is not None:
-            return [c for c in self.stats_columns if c in fields]
-        # auto: orderable atomic columns only; `run` is the sink's own
-        # constant-per-file stamp, no skipping value
-        return [
-            n
-            for n, t in fields.items()
-            if t in _STATS_TYPES and n != "run"
-        ][:MAX_STATS_COLUMNS]
+            cols = [c for c in self.stats_columns if c in fields]
+        else:
+            # auto: orderable atomic columns only
+            cols = [
+                n
+                for n, t in fields.items()
+                if t in _STATS_TYPES and n != "run"
+            ][:MAX_STATS_COLUMNS]
+        # `run` ALWAYS gets stats, outside the cap: per-run write files
+        # carry a constant (cheap), and compaction/delete-rewrite
+        # output carries the run RANGE its rows came from — which lets
+        # a retried-run purge probe prune to ZERO files from metadata
+        # for a never-seen run_id, instead of scanning the whole
+        # post-OPTIMIZE table on every write
+        if "run" in fields and "run" not in cols:
+            cols.append("run")
+        return cols
 
     @staticmethod
     def _stat_value(v, t: str, is_max: bool):
@@ -535,19 +594,10 @@ class TxLogKeptSink:
             ]
         per_file = df.groupBy("_f").agg(*aggs).collect()
         paths = {self._abs(r): r for r in rels}
-        by_path = {
-            a.split("://")[-1].lstrip("/"): rel for a, rel in paths.items()
-        }
+        rel_of = _uri_rel_mapper(paths)
         stats: dict[str, dict] = {}
         for row in per_file:
-            uri = row["_f"]
-            rel = by_path.get(uri.split("://")[-1].lstrip("/"))
-            if rel is None:  # exotic URI normalization: suffix fallback
-                rel = next(
-                    r
-                    for a, r in paths.items()
-                    if uri.endswith(a) or uri.endswith(a.lstrip("/"))
-                )
+            rel = rel_of(row["_f"])
             colstats: dict[str, list] = {}
             for c in cols:
                 mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
@@ -562,11 +612,11 @@ class TxLogKeptSink:
                     int(row[f"__nl_{c}"] or 0),
                 ]
             stats[rel] = {"rows": int(row["__rows"]), "cols": colstats}
-        self._attach_blooms(spark, df, fields, by_path, paths, stats)
+        self._attach_blooms(spark, df, fields, rel_of, stats)
         return stats
 
     def _attach_blooms(
-        self, spark, df, fields, by_path, paths, stats: dict
+        self, spark, df, fields, rel_of, stats: dict
     ) -> None:
         """Build per-(file, column) bloom bitsets for the configured
         ``bloom_columns`` in ONE executor-side grouped pass over the
@@ -605,22 +655,27 @@ class TxLogKeptSink:
                 out.append((f, c, m, raw))
             return pd.DataFrame(out, columns=["f", "col", "m", "bits"])
 
+        # int columns ride to the build as their exact decimal-string
+        # cast: a nullable int64 column crosses the arrow->pandas
+        # boundary as float64, which silently rounds values past 2^53
+        # — the probe side hashes the exact int, so a rounded build
+        # would yield false NEGATIVES (silent row loss). The string
+        # form is exact at any magnitude and matches str(int) probes.
+        casted = [
+            F.col(c).cast("string").alias(c)
+            if types[c] != "string"
+            else F.col(c)
+            for c in bcols
+        ]
         rows = (
-            df.select("_f", *bcols)
+            df.select("_f", *casted)
             .groupBy("_f")
             .applyInPandas(build, schema="f string, col string, m long, bits binary")
             .collect()
         )
         sidecar: dict[str, dict] = {}
         for r in rows:
-            rel = by_path.get(r["f"].split("://")[-1].lstrip("/"))
-            if rel is None:
-                rel = next(
-                    rr
-                    for a, rr in paths.items()
-                    if r["f"].endswith(a) or r["f"].endswith(a.lstrip("/"))
-                )
-            sidecar.setdefault(rel, {})[r["col"]] = {
+            sidecar.setdefault(rel_of(r["f"]), {})[r["col"]] = {
                 "m": int(r["m"]),
                 "bits": base64.b64encode(bytes(r["bits"])).decode(),
             }
@@ -648,6 +703,12 @@ class TxLogKeptSink:
             return True
         rows = file_stats.get("rows")
         for col, op, val in predicates:
+            if val is None:
+                # SQL comparison with NULL is never true, so the
+                # conjunct excludes every row — the file is provably
+                # empty under this predicate (the row filter agrees:
+                # `col = NULL` evaluates to null and drops all rows)
+                return False
             cs = file_stats.get("cols", {}).get(col)
             if cs is None:
                 continue
@@ -731,7 +792,12 @@ class TxLogKeptSink:
         eq = [
             (c, v)
             for c, op, v in predicates
-            if op in ("=", "==") and fields.get(c) in _BLOOM_TYPES
+            # a NULL probe value never matches any row under SQL
+            # comparison semantics; hashing it would crash — decline
+            # to skip and let the (empty) row filter decide
+            if op in ("=", "==")
+            and v is not None
+            and fields.get(c) in _BLOOM_TYPES
         ]
         if not eq:
             return False
@@ -806,11 +872,16 @@ class TxLogKeptSink:
         """The live-file subset a small ``keys`` frame could touch, or
         None when the key set exceeds the cap (caller scans everything).
         One bounded collect (cap+1 rows) decides which."""
-        vals = [
-            r[key] for r in keys.limit(self._DFP_KEY_CAP + 1).collect()
-        ]
-        if len(vals) > self._DFP_KEY_CAP:
+        raw = keys.limit(self._DFP_KEY_CAP + 1).collect()
+        # overflow decides on the RAW row count: dropping NULLs first
+        # could make an over-cap key set look small and prune against
+        # an incomplete key list (missed delete victims)
+        if len(raw) > self._DFP_KEY_CAP:
             return None
+        # NULL keys never equi-join (the discovery semi-join ignores
+        # them), so they must not reach the per-key stats probe — a
+        # None would crash the min/max comparison there
+        vals = [r[key] for r in raw if r[key] is not None]
         fields = _ddl_to_fields(spark, log_schema) if log_schema else {}
         if key not in fields:
             return None
@@ -1019,7 +1090,28 @@ class TxLogKeptSink:
             # full re-write would DUPLICATE those rows. Rewrite the
             # affected files without this run's rows in the SAME commit
             removed: list[str] = []
-            rw_live = [p for p, tag in live.items() if tag[0] != "write"]
+            rw_snap = {
+                p: tag for p, tag in live.items() if tag[0] != "write"
+            }
+            # metadata-first: the probe is dynamic file pruning on the
+            # `run` column (always stats-collected — rewrite output
+            # carries the run RANGE of its rows). A never-seen run_id
+            # prunes to ZERO files driver-side; without this, one
+            # OPTIMIZE makes rw_snap == the whole table and every
+            # subsequent write pays a full-table scan for a probe that
+            # almost always finds nothing
+            rw_live: list[str] = []
+            if rw_snap:
+                fields = (
+                    _ddl_to_fields(spark, log_schema) if log_schema else {}
+                )
+                rw_live = (
+                    self._files_possibly_containing(
+                        spark, rw_snap, fields, "run", [run_id]
+                    )
+                    if "run" in fields
+                    else sorted(rw_snap)
+                )
             if rw_live:
                 rw_paths = {self._abs(p): p for p in rw_live}
                 rw = self._read_files(spark, rw_live, log_schema).withColumn(
@@ -1033,16 +1125,8 @@ class TxLogKeptSink:
                     .collect()
                 ]
                 if hit_abs:
-                    by_path = {
-                        a.split("://")[-1].lstrip("/"): rel
-                        for a, rel in rw_paths.items()
-                    }
-                    removed = sorted(
-                        {
-                            by_path[u.split("://")[-1].lstrip("/")]
-                            for u in hit_abs
-                        }
-                    )
+                    rel_of = _uri_rel_mapper(rw_paths)
+                    removed = sorted({rel_of(u) for u in hit_abs})
                     purge_rel = f"data/purge-{run_id}-{uuid.uuid4().hex[:8]}"
                     purge_abs = self._abs(purge_rel)
                     self._read_files(spark, removed, log_schema).where(
@@ -1062,7 +1146,7 @@ class TxLogKeptSink:
                     "appended": appended,
                     "remove": removed,
                     "schema": schema_ddl,
-                    "settings": self.settings,
+                    "settings": self._settings_for_commit(fs),
                     "stats": self._collect_stats(
                         spark, sorted(add_map), schema_ddl
                     ),
@@ -1111,20 +1195,7 @@ class TxLogKeptSink:
             ]
             if not affected_abs:
                 return
-            # input_file_name returns a URI (file:///..., hdfs://...);
-            # O(1) lookup on the scheme-stripped path, with a suffix
-            # scan only as the fallback for exotic URI normalizations
-            by_path = {a.split("://")[-1].lstrip("/"): rel for a, rel in paths.items()}
-
-            def rel_of(uri: str) -> str:
-                hit = by_path.get(uri.split("://")[-1].lstrip("/"))
-                if hit is not None:
-                    return hit
-                for a, rel in paths.items():
-                    if uri.endswith(a) or uri.endswith(a.lstrip("/")):
-                        return rel
-                raise KeyError(f"unmapped input file {uri}")
-
+            rel_of = _uri_rel_mapper(paths)
             removed = sorted({rel_of(u) for u in affected_abs})
             rw_rel = f"data/rw-{run_id}-{uuid.uuid4().hex[:8]}"
             rw_abs = self._abs(rw_rel)
@@ -1147,7 +1218,7 @@ class TxLogKeptSink:
                 spark,
                 {
                     "op": "delete",
-                    "settings": self.settings,
+                    "settings": self._settings_for_commit(fs),
                     "run_id": run_id,
                     "remove": removed,
                     "add": sorted(add_map),
@@ -1243,20 +1314,7 @@ class TxLogKeptSink:
                         .distinct()
                         .collect()
                     ]
-                by_path = {
-                    a.split("://")[-1].lstrip("/"): rel
-                    for a, rel in paths.items()
-                }
-
-                def rel_of(uri: str) -> str:
-                    hit = by_path.get(uri.split("://")[-1].lstrip("/"))
-                    if hit is not None:
-                        return hit
-                    for a, rel in paths.items():
-                        if uri.endswith(a) or uri.endswith(a.lstrip("/")):
-                            return rel
-                    raise KeyError(f"unmapped input file {uri}")
-
+                rel_of = _uri_rel_mapper(paths)
                 removed = sorted({rel_of(u) for u in hit_abs})
                 if removed:
                     # bystander rewrite: affected files minus matched
@@ -1283,7 +1341,7 @@ class TxLogKeptSink:
                     "appended": appended,
                     "remove": removed,
                     "schema": schema_ddl,
-                    "settings": self.settings,
+                    "settings": self._settings_for_commit(fs),
                     "stats": self._collect_stats(
                         spark, sorted(add_map), schema_ddl
                     ),
@@ -1368,6 +1426,19 @@ class TxLogKeptSink:
         and the per-column bucket bits are interleaved with
         shiftleft/and/or expressions. Everything stays inside
         whole-stage codegen; no UDF, no window."""
+        k = len(cols)
+        if k * bits > 63:
+            # Spark's shiftleft takes the shift amount mod 64 (Java
+            # semantics): past bit 63 the interleave would silently
+            # alias high-bucket bits onto low positions (a scrambled
+            # key that still "succeeds"), and bit 63 is the sign bit —
+            # a negative key breaks the range ordering. Refuse loudly,
+            # like the non-numeric-column check below.
+            raise ValueError(
+                f"zorder key needs {k}*{bits}={k * bits} bits; at most "
+                f"63 fit a long — lower zorder_bits to {63 // k} or "
+                "fewer columns"
+            )
         n = 1 << bits
         aggs = []
         for c in cols:
@@ -1376,7 +1447,6 @@ class TxLogKeptSink:
                 F.max(F.col(c).cast("double")),
             ]
         row = df.select(aggs).first()
-        k = len(cols)
         key = None
         for i, c in enumerate(cols):
             lo, hi = row[2 * i], row[2 * i + 1]
@@ -1525,7 +1595,7 @@ class TxLogKeptSink:
                     "add": sorted(add_map),
                     "add_bytes": add_map,
                     "schema": schema,
-                    "settings": self.settings,
+                    "settings": self._settings_for_commit(fs),
                     "stats": self._collect_stats(
                         spark, sorted(add_map), schema
                     ),

@@ -59,7 +59,7 @@ sections.append(("As-of join (purchases enriched with last preceding view)",
   "NO join node: both sides union (right side pre-deduped per key+ts), one Exchange on "
   "user_id for the window, last(ignorenulls) carries the right attributes forward; "
   "cost independent of right-history depth per left row.",
-  fmt(em.queries()["asof_join_purchase_view"](spark, sf))))
+  fmt(em.q_asof_join_purchase_view(spark, sf))))
 
 sections.append(("Repetition signals (per-doc, zero-shuffle)",
   "The entire Gopher-style repetition computation is ONE narrow projection over the "

@@ -848,7 +848,10 @@ def test_commit_records_per_file_stats(spark):
         assert set(e["stats"]) == set(e["add"])
         for rel, st in e["stats"].items():
             assert st["rows"] == 4
-            assert set(st["cols"]) == {"image_id", "lang", "v"}
+            # `run` is always stats-collected: rewrite output carries
+            # the run range its rows came from, which the retried-run
+            # purge probe prunes on (see write())
+            assert set(st["cols"]) == {"image_id", "lang", "v", "run"}
             mn, mx, nulls = st["cols"]["v"]
             assert nulls == 0 and mn <= mx
     # the live replay carries stats in slot 3
@@ -1424,3 +1427,239 @@ def test_point_delete_and_merge_scan_only_candidate_files(spark):
     got = {r["image_id"]: r["v"] for r in sink.read(spark).collect()}
     assert "im-0007" not in got and got["im-0014"] == -1
     assert len(got) == 399
+
+
+def test_bloom_exact_for_nullable_bigint_past_2_53(spark):
+    """A NULLABLE bigint bloom column (phash-shaped, magnitudes past
+    2^53) must never yield false negatives: the arrow->pandas boundary
+    inside the executor build upcasts a null-bearing int64 column to
+    float64, so hashing the ROUNDED values would build a bloom the
+    exact-int probe misses — silent row loss on read, and delete/merge
+    victims left alive. Ints therefore hash by their decimal-string
+    form on both sides."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(
+        os.path.join(BASE, "bigbloom"), bloom_columns=["phash"]
+    )
+    big = (1 << 60) + 1  # float64 spacing at 2^60 is 256: +1 rounds away
+    rows = [("a", "x", big), ("b", "x", None), ("c", "x", big + 2)]
+    sink.write(
+        spark.createDataFrame(
+            rows, "image_id string, lang string, phash bigint"
+        ).coalesce(1),
+        "r1",
+    )
+    # present key, in min/max bounds: only a bloom false-negative could
+    # drop the file — with lossy hashing it DID
+    kept, total, _ = sink.prune_files(spark, [("phash", "=", big)])
+    assert total == 1 and len(kept) == 1, kept
+    got = sink.read(spark, predicates=[("phash", "=", big)]).collect()
+    assert [r["image_id"] for r in got] == ["a"]
+    # the float64-rounded sibling (big+2 also rounds to 2^60) keeps
+    # its own exact entry: both present keys probe positive
+    kept2, _, _ = sink.prune_files(spark, [("phash", "=", big + 2)])
+    assert len(kept2) == 1
+
+
+def test_null_keys_and_null_predicates_are_safe(spark):
+    """NULL keys in a delete set are ignored (they never equi-join);
+    a NULL predicate literal prunes everything instead of crashing the
+    stats comparison (SQL: `col = NULL` matches no row)."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(
+        os.path.join(BASE, "nullkeys"), bloom_columns=["image_id"]
+    )
+    sink.write(
+        spark.createDataFrame(
+            [("a", "x", 1), ("b", "x", 2), ("c", "x", 3)],
+            "image_id string, lang string, v int",
+        ).coalesce(1),
+        "r1",
+    )
+    sink.delete(
+        spark,
+        "d1",
+        spark.createDataFrame([("a",), (None,)], "image_id string"),
+    )
+    assert {r["image_id"] for r in sink.read(spark).collect()} == {"b", "c"}
+    assert sink.read(spark, predicates=[("image_id", "=", None)]).count() == 0
+    kept, _, _ = sink.prune_files(spark, [("v", "=", None)])
+    assert kept == []
+
+
+def test_maintenance_commit_carries_forward_settings(spark):
+    """A default-constructed maintenance sink (the CLI --optimize /
+    --vacuum path) must not stamp empty settings over a
+    settings-carrying store: the writer's next validate reads the LAST
+    entry's settings and would reject its own store."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    writer = TxLogKeptSink(
+        os.path.join(BASE, "settings"), settings={"replicas": 1}
+    )
+    writer.write(
+        spark.createDataFrame(
+            [("a", "x", 1), ("b", "x", 2)], "image_id string, lang string, v int"
+        ).coalesce(1),
+        "r1",
+    )
+    maint = TxLogKeptSink(os.path.join(BASE, "settings"))
+    maint.optimize(spark)
+    # the optimize commit carried the recorded settings forward...
+    fs = maint._fs(spark)
+    import json as _json
+
+    last = _json.loads(
+        fs.read_text(lineage._join(maint.log_dir, maint._entry_names(fs)[-1]))
+    )
+    assert last["settings"] == {"replicas": 1}
+    # ...so the original writer still validates and writes
+    writer.validate(spark, "image_id string, lang string, v int")
+    writer.write(
+        spark.createDataFrame(
+            [("c", "x", 3)], "image_id string, lang string, v int"
+        ).coalesce(1),
+        "r2",
+    )
+    assert {r["image_id"] for r in writer.read(spark).collect()} == {
+        "a",
+        "b",
+        "c",
+    }
+
+
+def test_fresh_run_write_after_optimize_reads_no_files(spark):
+    """The retried-run purge probe is metadata-first (DFP on the
+    always-stats-collected `run` column): after OPTIMIZE retags every
+    live file, a never-seen run_id must prune to ZERO files driver-side
+    — without that, every post-compaction write pays a full-table scan.
+    A genuinely retried run still finds its rows inside the compaction
+    output and purges them (no duplicates)."""
+    from gobulk_spark import txlog as txmod
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "purgeprobe"))
+    ddl = "image_id string, lang string, v int"
+    for i, rid in enumerate(["r1", "r2"]):
+        sink.write(
+            spark.createDataFrame(
+                [(f"{rid}-{j}", "x", i * 10 + j) for j in range(3)], ddl
+            ).coalesce(1),
+            rid,
+        )
+    sink.optimize(spark)
+    live = sink._state(spark)[0]
+    assert all(tag[0] == "optimize" for tag in live.values())
+    reads: list[list[str]] = []
+    orig = TxLogKeptSink._read_files
+
+    def spy(self, spark_, rels, schema_ddl=None):
+        reads.append(sorted(rels))
+        return orig(self, spark_, rels, schema_ddl)
+
+    txmod.TxLogKeptSink._read_files = spy
+    try:
+        sink.write(
+            spark.createDataFrame([("r3-0", "x", 30)], ddl).coalesce(1),
+            "r3",
+        )
+        fresh_reads = list(reads)
+        reads.clear()
+        # retry of committed r1: its rows live in the optimize output
+        sink.write(
+            spark.createDataFrame([("r1-0", "x", 99)], ddl).coalesce(1),
+            "r1",
+        )
+        retry_reads = list(reads)
+    finally:
+        txmod.TxLogKeptSink._read_files = orig
+    # stats collection reads the run's OWN landing dir; the purge
+    # probe must not have opened any pre-existing (optimize) file
+    assert all(
+        r.startswith("data/run-r3") for call in fresh_reads for r in call
+    ), fresh_reads
+    assert any(
+        not r.startswith("data/run-r1") for call in retry_reads for r in call
+    ), "retried run must probe the compaction output"
+    got = {r["image_id"]: r["v"] for r in sink.read(spark).collect()}
+    # r1's retry REPLACED its three old rows with the one new row
+    assert got == {
+        "r1-0": 99,
+        "r2-0": 10,
+        "r2-1": 11,
+        "r2-2": 12,
+        "r3-0": 30,
+    }, got
+
+
+def test_stream_conflicting_id_batch_does_not_wedge_merge_sink(spark):
+    """Poison-pill regression (round-5 review): one microbatch carrying
+    the SAME image_id with two DIFFERENT contents used to make
+    sink.merge raise on the duplicate key — the epoch failed and the
+    checkpoint re-delivered the identical batch forever. Now the
+    max-hash sibling lands, the loser is an audit issue, and the
+    stream completes."""
+    import hashlib
+
+    from gobulk_spark.corpus import generate_pairs
+    from gobulk_spark.streaming.incremental import run_streaming_ingest
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    src_dir = os.path.join(BASE, "conflict_src")
+    out = os.path.join(BASE, "conflict_out")
+    os.makedirs(src_dir)
+    pairs, _ = generate_pairs(80, seed=35)
+    pq.write_table(pairs, os.path.join(src_dir, "part-000.parquet"))
+    sink = TxLogKeptSink(out)
+    cfg = PipelineConfig(source_path=src_dir, out_dir=out, run_id="s1")
+    run_streaming_ingest(spark, cfg, src_dir, sink=sink)
+    audit1 = lineage.read_audit(spark, out).toPandas()
+    created = audit1.loc[audit1.action == "create", "image_id"].tolist()
+    assert len(created) >= 3
+    tbl = pairs.to_pydict()
+    row_of = {tbl["image_id"][i]: i for i in range(len(tbl["image_id"]))}
+    x, d1, d2 = created[0], created[1], created[2]
+    xi = row_of[x]
+
+    def clone(donor):
+        """id X with DONOR's image content (same caption, so the rule
+        decision is X's own; different bytes, so the hash differs)."""
+        di = row_of[donor]
+        return {
+            "image_id": x,
+            "bytes": tbl["bytes"][di],
+            "w": tbl["w"][di],
+            "h": tbl["h"][di],
+            "fmt": tbl["fmt"][di],
+            "caption": tbl["caption"][xi],
+            "phash": tbl["phash"][di],
+        }
+
+    import pyarrow as pa
+
+    conflict = pa.Table.from_pylist(
+        [clone(d1), clone(d2)], schema=pairs.schema
+    )
+    pq.write_table(conflict, os.path.join(src_dir, "part-001.parquet"))
+    # the regression: this drain used to raise ValueError from merge
+    run_streaming_ingest(spark, cfg, src_dir, sink=sink)
+    store = {
+        r["image_id"]: r for r in sink.read(spark).collect()
+    }
+    # exactly ONE row for x in the store
+    assert x in store
+    # the winner is the max-content_hash sibling
+    def chash(donor):
+        c = clone(donor)
+        return hashlib.sha256(
+            c["bytes"] + b"\x00" + c["caption"].encode()
+        ).hexdigest()
+
+    win = d1 if chash(d1) > chash(d2) else d2
+    assert store[x]["content_hash"] == chash(win)
+    # the loser rode to the audit as a conflict issue
+    audit2 = lineage.read_audit(spark, out).toPandas()
+    conflicts = audit2[
+        (audit2.image_id == x)
+        & (audit2.action == "issue")
+    ]
+    assert len(conflicts) == 1

@@ -252,3 +252,37 @@ def test_content_revert_reenters_pipeline(spark):
     audit = lineage.read_audit(spark, out).toPandas()
     r3 = audit[(audit.run_id == "r3") & (audit.wphase == "store")]
     assert set(r3.image_id) == {rid} and r3.iloc[0]["action"] == "update"
+
+
+def test_resolve_conflicting_ids_unit(spark):
+    """Same id, two DIFFERENT kept contents in one batch: the max-hash
+    sibling survives (the marker's own tie-break), the loser becomes an
+    issue row; other actions and other ids are untouched; collision-free
+    input comes back as-is (no window shuffle paid)."""
+    from gobulk_spark import executor
+
+    ddl = (
+        "image_id string, content_hash string, action string, "
+        "keep boolean, issue_note string"
+    )
+    rows = [
+        ("a", "h1", "create", True, None),
+        ("a", "h2", "create", True, None),
+        ("b", "h3", "update", True, None),
+        ("c", "h4", "omit", False, None),
+    ]
+    out = {
+        (r["image_id"], r["content_hash"]): r
+        for r in executor.resolve_conflicting_ids(
+            spark.createDataFrame(rows, ddl)
+        ).collect()
+    }
+    assert out[("a", "h2")]["action"] == "create"
+    loser = out[("a", "h1")]
+    assert loser["action"] == "issue" and loser["keep"] is False
+    assert "h2" in loser["issue_note"]
+    assert out[("b", "h3")]["action"] == "update"
+    assert out[("c", "h4")]["action"] == "omit"
+    # no-collision probe short-circuits to the SAME frame
+    clean = spark.createDataFrame(rows[1:], ddl)
+    assert executor.resolve_conflicting_ids(clean, probe=(2, 2)) is clean
