@@ -1160,6 +1160,136 @@ class TxLogKeptSink:
                 return None
         raise OSError(f"txlog write lost {MAX_COMMIT_ATTEMPTS} snapshot races")
 
+    @staticmethod
+    def _file_all_match(
+        file_stats: dict | None, predicates: list[tuple], fields: dict
+    ) -> bool:
+        """True only when stats PROVE every row satisfies every
+        conjunct — the metadata-only whole-file-drop test of
+        ``delete_where``. Dual of ``_file_matches`` (which proves NO
+        row matches): bounds must lie entirely INSIDE the predicate
+        range and the column must be null-free (a null row never
+        satisfies a comparison, so it must survive the delete). Missing
+        stats prove nothing."""
+        if not file_stats:
+            return False
+        for col, op, val in predicates:
+            if val is None:
+                return False  # `col = NULL` matches no row
+            cs = file_stats.get("cols", {}).get(col)
+            if cs is None:
+                return False
+            mn, mx, nulls = cs
+            if mn is None or mx is None or nulls:
+                return False
+            if fields.get(col) == "date" and hasattr(val, "isoformat"):
+                val = val.isoformat()
+            ok = {
+                "=": mn == val and mx == val,
+                "==": mn == val and mx == val,
+                "<": mx < val,
+                "<=": mx <= val,
+                ">": mn > val,
+                ">=": mn >= val,
+            }[op]
+            if not ok:
+                return False
+        return True
+
+    def delete_where(
+        self, spark: SparkSession, run_id: str, predicates: list[tuple]
+    ) -> dict:
+        """Predicate delete with Delta's two-tier execution: live files
+        whose stats PROVE every row matches are dropped METADATA-ONLY
+        (no read, no rewrite — at 10^12 rows this is how a whole
+        lang/day partition disappears without touching a byte of data);
+        files the stats cannot decide are rewritten without the
+        matching rows; files the stats rule out are never opened.
+        Rows where the predicate is NULL survive (SQL DELETE
+        semantics). Unlike ``delete`` (the pipeline's re-delivery verb,
+        prior-runs-only), this removes matching rows from EVERY run.
+
+        Returns {"dropped_files": n, "rewritten_files": n,
+        "version": v or None} — version None means nothing matched.
+        Same OCC discipline as delete/merge: derived from a snapshot,
+        committed against exactly that version, re-derived on a race.
+        """
+        fs = self._fs(spark)
+        for _ in range(MAX_COMMIT_ATTEMPTS):
+            snap, _, base_version, last_schema = self._state(spark)
+            if not base_version or not snap:
+                return {"dropped_files": 0, "rewritten_files": 0, "version": None}
+            fields = _ddl_to_fields(spark, last_schema) if last_schema else {}
+            self._check_predicates(predicates, fields)
+            cand = self._surviving(spark, snap, predicates, fields)
+            whole = [
+                p
+                for p in cand
+                if self._file_all_match(snap[p][3], predicates, fields)
+            ]
+            maybe = [p for p in cand if p not in set(whole)]
+            pred_expr = self._predicate_expr(predicates)
+            add_map: dict[str, int] = {}
+            rewritten: list[str] = []
+            rw_abs = None
+            if maybe:
+                live = self._read_files(spark, maybe, last_schema)
+                if not whole and live.where(pred_expr).isEmpty():
+                    return {
+                        "dropped_files": 0,
+                        "rewritten_files": 0,
+                        "version": None,
+                    }
+                rewritten = maybe
+                rw_rel = f"data/rw-{run_id}-{uuid.uuid4().hex[:8]}"
+                rw_abs = self._abs(rw_rel)
+                # survivors: predicate FALSE or NULL (null never deletes)
+                live.where(
+                    ~F.coalesce(pred_expr, F.lit(False))
+                ).write.mode("overwrite").parquet(rw_abs)
+                add_map = self._dir_files(fs, rw_abs, rw_rel)
+            removed = sorted(whole) + sorted(rewritten)
+            if not removed:
+                return {"dropped_files": 0, "rewritten_files": 0, "version": None}
+            v = self._commit(
+                spark,
+                {
+                    "op": "delete",
+                    "settings": self._settings_for_commit(fs),
+                    "run_id": run_id,
+                    "remove": removed,
+                    "add": sorted(add_map),
+                    "add_bytes": add_map,
+                    "schema": last_schema,
+                    # informational: lets history explain WHY files left
+                    "predicate": [
+                        [
+                            c,
+                            o,
+                            pv
+                            if isinstance(pv, (int, float, str, bool))
+                            else str(pv),
+                        ]
+                        for c, o, pv in predicates
+                    ],
+                    "stats": self._collect_stats(
+                        spark, sorted(add_map), last_schema
+                    ),
+                },
+                base_version=base_version,
+            )
+            if v is not None:
+                return {
+                    "dropped_files": len(whole),
+                    "rewritten_files": len(rewritten),
+                    "version": v,
+                }
+            if rw_abs:
+                fs.delete(rw_abs)  # stale snapshot: discard and re-derive
+        raise OSError(
+            f"txlog delete_where lost {MAX_COMMIT_ATTEMPTS} snapshot races"
+        )
+
     def delete(self, spark: SparkSession, run_id: str, keys: DataFrame) -> None:
         """MERGE-shaped delete of ``keys`` from prior runs' rows: find
         the files that actually contain victims (one semi-join over the

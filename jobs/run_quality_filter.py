@@ -15,6 +15,7 @@ import argparse
 import json
 import os
 import sys
+import uuid
 
 # driver-side bootstrap: running from the repo without --py-files puts
 # jobs/ (not the repo root) on sys.path; deployed runs get the package
@@ -24,6 +25,24 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from pyspark.sql import SparkSession
+
+
+def _parse_predicate(text: str) -> tuple:
+    """'col<op>literal' -> (col, op, typed_literal); numeric literals
+    auto-type so stats comparisons stay same-typed."""
+    for op in ("<=", ">=", "=", "<", ">"):
+        if op in text:
+            col, raw = text.split(op, 1)
+            val: object = raw.strip()
+            try:
+                val = int(val)
+            except ValueError:
+                try:
+                    val = float(val)
+                except ValueError:
+                    pass
+            return (col.strip(), op, val)
+    raise SystemExit(f"unparseable --delete-where predicate: {text!r}")
 
 
 def main() -> None:
@@ -59,6 +78,12 @@ def main() -> None:
     ap.add_argument("--retain-last", type=int, default=0,
                     help="--vacuum: keep the last N+1 versions "
                          "time-travelable (0 = latest only)")
+    ap.add_argument("--delete-where", type=str, default=None,
+                    help="maintenance: predicate delete on the txlog "
+                         "kept store, e.g. 'lang=und' or 'ppl>900' "
+                         "(ops: = < <= > >=; numeric literals are "
+                         "auto-typed) — stats-provable whole files "
+                         "drop metadata-only, stragglers are rewritten")
     ap.add_argument("--arrow-batch-rows", type=int, default=2048)
     ap.add_argument("--sink", choices=["parquet", "partitioned-retry", "txlog"],
                     default="parquet",
@@ -81,17 +106,24 @@ def main() -> None:
     from gobulk_spark import lineage
     from gobulk_spark.config import PipelineConfig
 
-    maintenance = args.pause or args.unpause or args.optimize or args.vacuum
+    maintenance = (args.pause or args.unpause or args.optimize or args.vacuum or args.delete_where)
     if not maintenance and not args.source:
         ap.error(
-            "--source is required unless --pause/--unpause/--optimize/--vacuum"
+            "--source is required unless --pause/--unpause/--optimize/"
+            "--vacuum/--delete-where"
         )
 
-    if args.optimize or args.vacuum:
+    if args.optimize or args.vacuum or args.delete_where:
         from gobulk_spark.txlog import TxLogKeptSink
 
         tx = TxLogKeptSink(args.out)
         out = {"out": args.out}
+        if args.delete_where:
+            out["delete_where"] = tx.delete_where(
+                spark,
+                f"cli-delete-{uuid.uuid4().hex[:8]}",
+                [_parse_predicate(args.delete_where)],
+            )
         if args.optimize:
             out["compacted_files"] = tx.optimize(
                 spark,

@@ -1663,3 +1663,72 @@ def test_stream_conflicting_id_batch_does_not_wedge_merge_sink(spark):
         & (audit2.action == "issue")
     ]
     assert len(conflicts) == 1
+
+
+# -- predicate delete (DELETE WHERE) ---------------------------------------
+
+
+def test_delete_where_metadata_only_fast_path(spark):
+    """Delta DELETE WHERE, two-tier: a file whose stats PROVE every row
+    matches is dropped without ever being READ (the whole-partition
+    drop at scale); a straddling file is rewritten without its matching
+    rows; out-of-range files are never opened. Time travel and the
+    change feed see the removal exactly."""
+    from gobulk_spark import txlog as txmod
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = _stats_sink(spark, "delwhere", rows_per_file=8, files=4)
+    pre = sink.history(spark)[-1]["version"]
+    live_before = sink._state(spark)[0]
+    assert len(live_before) == 4
+    file0 = next(p for p, t in live_before.items() if t[3]["cols"]["v"][0] == 0)
+    reads: list[list[str]] = []
+    orig = TxLogKeptSink._read_files
+
+    def spy(self, spark_, rels, schema_ddl=None):
+        reads.append(sorted(rels))
+        return orig(self, spark_, rels, schema_ddl)
+
+    txmod.TxLogKeptSink._read_files = spy
+    try:
+        res = sink.delete_where(spark, "dw1", [("v", "<", 12)])
+    finally:
+        txmod.TxLogKeptSink._read_files = orig
+    assert res["dropped_files"] == 1 and res["rewritten_files"] == 1, res
+    # the whole-drop file was never opened
+    assert all(file0 not in call for call in reads), (file0, reads)
+    got = sorted(r["v"] for r in sink.read(spark).collect())
+    assert got == list(range(12, 32))
+    # time travel to the pre-delete snapshot still sees all rows
+    assert sink.read(spark, version=pre).count() == 32
+    # the commit records WHY files left
+    assert sink.history(spark)[-1]["predicate"] == [["v", "<", 12]]
+    # change feed: exactly the 12 victims, as deletes
+    feed = sink.read_changes(spark, from_version=pre)
+    dels = feed.where(F.col("_change_type") == "delete")
+    assert sorted(r["v"] for r in dels.collect()) == list(range(12))
+
+
+def test_delete_where_null_rows_survive_and_no_match_is_noop(spark):
+    """SQL DELETE semantics: a NULL predicate never deletes, so
+    null-valued rows survive (and their file cannot whole-drop); a
+    predicate matching nothing commits nothing."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "delnull"))
+    sink.write(
+        spark.createDataFrame(
+            [("a", "x", 1), ("b", "x", None), ("c", "x", 2)],
+            "image_id string, lang string, v int",
+        ).coalesce(1),
+        "r1",
+    )
+    v1 = sink.history(spark)[-1]["version"]
+    res = sink.delete_where(spark, "dw1", [("v", ">", 0)])
+    assert res["dropped_files"] == 0 and res["rewritten_files"] == 1
+    left = {r["image_id"]: r["v"] for r in sink.read(spark).collect()}
+    assert left == {"b": None}
+    # nothing matches: no commit at all
+    res2 = sink.delete_where(spark, "dw2", [("v", "=", 999)])
+    assert res2["version"] is None
+    assert sink.history(spark)[-1]["version"] == res["version"]
+    assert sink.read(spark, version=v1).count() == 3
