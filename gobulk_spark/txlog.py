@@ -258,6 +258,18 @@ def apply_changes_to_rollup(
     return merged.where(F.col("n") != 0)
 
 
+class ConstraintViolation(Exception):
+    """A declared CHECK constraint failed for incoming rows — nothing
+    was committed (staged files are discarded)."""
+
+    def __init__(self, table: str, counts: dict[str, int]):
+        self.counts = counts
+        super().__init__(
+            f"txlog store at {table}: CHECK constraint(s) violated: "
+            + ", ".join(f"{n} ({c} rows)" for n, c in sorted(counts.items()))
+        )
+
+
 class TxLogKeptSink:
     """Kept-store sink over the transaction log (see module doc)."""
 
@@ -268,6 +280,7 @@ class TxLogKeptSink:
         auto_compact_files: int | None = 64,
         merge_schema: bool = False,
         atomic_upserts: bool = True,
+        constraints: dict[str, str] | None = None,
         stats_columns: list[str] | None = None,
         bloom_columns: list[str] | None = None,
         write_cluster_by: list[str] | None = None,
@@ -323,6 +336,13 @@ class TxLogKeptSink:
         # commit, D narrows to pure deletes (opt-out restores the
         # delete-then-write pair for A/B or compat)
         self.supports_atomic_upsert = atomic_upserts
+        # Delta-parity CHECK constraints: name -> SQL boolean expr,
+        # enforced on every write/merge via an Observation riding the
+        # landing job itself (zero extra passes over the data; SQL
+        # semantics: only expr IS FALSE violates, NULL passes). A
+        # violation aborts BEFORE the log commit, so readers never see
+        # the rows; the staged files are discarded.
+        self.constraints = constraints or {}
 
     # -- log primitives ----------------------------------------------------
 
@@ -1025,6 +1045,36 @@ class TxLogKeptSink:
             merged.setdefault(n, t)
         return ", ".join(f"{n} {t}" for n, t in merged.items())
 
+    def _constrained(self, df: DataFrame):
+        """(df', check) — df' carries an Observation whose aggregates
+        count CHECK violations per constraint DURING the next action
+        over df' (the landing write itself — no extra pass). Call
+        ``check()`` after that action and before committing; it raises
+        ConstraintViolation when any constraint saw a FALSE row. SQL
+        CHECK semantics: NULL passes, only FALSE violates."""
+        if not self.constraints:
+            return df, lambda: None
+        from pyspark.sql import Observation
+
+        obs = Observation(f"txlog-check-{uuid.uuid4().hex[:8]}")
+        aggs = [
+            F.sum(
+                F.coalesce(~F.expr(e), F.lit(False)).cast("long")
+            ).alias(n)
+            for n, e in sorted(self.constraints.items())
+        ]
+        df = df.observe(obs, *aggs)
+
+        def check():
+            got = obs.get
+            bad = {
+                n: int(got[n]) for n in self.constraints if got.get(n)
+            }
+            if bad:
+                raise ConstraintViolation(self.root, bad)
+
+        return df, check
+
     def write(self, df: DataFrame, run_id: str):
         """Land a run's kept rows as immutable files + ONE commit.
 
@@ -1078,8 +1128,15 @@ class TxLogKeptSink:
             )
             abs_dir = self._abs(rel_dir)
             fs.delete(abs_dir)
-            out.write.mode("overwrite").parquet(abs_dir)
+            out_obs, _check = self._constrained(out)
+            out_obs.write.mode("overwrite").parquet(abs_dir)
             staged.append(abs_dir)
+            try:
+                _check()
+            except ConstraintViolation:
+                for d in staged:
+                    fs.delete(d)
+                raise
             add_map = self._dir_files(fs, abs_dir, rel_dir)
             appended = sorted(add_map)
             # a RETRIED run's surviving rows can also live in files this
@@ -1138,6 +1195,7 @@ class TxLogKeptSink:
                 spark,
                 {
                     "op": "write",
+                    **({"constraints": self.constraints} if self.constraints else {}),
                     "run_id": run_id,
                     "add": sorted(add_map),
                     "add_bytes": add_map,
@@ -1416,8 +1474,15 @@ class TxLogKeptSink:
             # never the supersede target a write's run-dir is)
             new_rel = f"data/mrg-{run_id}-{uuid.uuid4().hex[:8]}"
             new_abs = self._abs(new_rel)
-            out.write.mode("overwrite").parquet(new_abs)
+            out_obs, _check = self._constrained(out)
+            out_obs.write.mode("overwrite").parquet(new_abs)
             staged.append(new_abs)
+            try:
+                _check()
+            except ConstraintViolation:
+                for d in staged:
+                    fs.delete(d)
+                raise
             add_map = self._dir_files(fs, new_abs, new_rel)
             appended = sorted(add_map)
             removed: list[str] = []
@@ -1460,6 +1525,7 @@ class TxLogKeptSink:
                 spark,
                 {
                     "op": "merge",
+                    **({"constraints": self.constraints} if self.constraints else {}),
                     "run_id": run_id,
                     "add": sorted(add_map),
                     "add_bytes": add_map,

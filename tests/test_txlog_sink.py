@@ -1732,3 +1732,58 @@ def test_delete_where_null_rows_survive_and_no_match_is_noop(spark):
     assert res2["version"] is None
     assert sink.history(spark)[-1]["version"] == res["version"]
     assert sink.read(spark, version=v1).count() == 3
+
+
+# -- CHECK constraints ------------------------------------------------------
+
+
+def test_check_constraints_enforced_at_write_and_merge(spark):
+    """Delta-parity CHECK constraints ride the landing job as an
+    Observation (no extra pass): a violating write/merge raises BEFORE
+    the log commit — readers never see the rows, no files leak into the
+    live set — while NULL rows pass (SQL CHECK semantics: only FALSE
+    violates)."""
+    from gobulk_spark.txlog import ConstraintViolation
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(
+        os.path.join(BASE, "check"),
+        constraints={"v_positive": "v > 0", "id_nonnull": "image_id IS NOT NULL"},
+    )
+    ddl = "image_id string, lang string, v int"
+    # NULL v passes (CHECK is violated only by FALSE)
+    sink.write(
+        spark.createDataFrame(
+            [("a", "x", 1), ("b", "x", None)], ddl
+        ).coalesce(1),
+        "r1",
+    )
+    assert sink.read(spark).count() == 2
+    v1 = sink.history(spark)[-1]["version"]
+    assert sink.history(spark)[-1]["constraints"] == {
+        "v_positive": "v > 0",
+        "id_nonnull": "image_id IS NOT NULL",
+    }
+    # violating write: refused, nothing committed, nothing staged left
+    with pytest.raises(ConstraintViolation) as ei:
+        sink.write(
+            spark.createDataFrame(
+                [("c", "x", -5), ("d", "x", 3), (None, "x", 2)], ddl
+            ).coalesce(1),
+            "r2",
+        )
+    assert "v_positive (1 rows)" in str(ei.value)
+    assert "id_nonnull (1 rows)" in str(ei.value)
+    assert sink.history(spark)[-1]["version"] == v1
+    assert sink.read(spark).count() == 2
+    # violating merge: refused the same way
+    with pytest.raises(ConstraintViolation):
+        sink.merge(
+            spark,
+            "m1",
+            spark.createDataFrame([("a", "x", -1)], ddl),
+        )
+    assert {r["v"] for r in sink.read(spark).collect()} == {1, None}
+    # clean merge still lands
+    sink.merge(spark, "m2", spark.createDataFrame([("a", "x", 7)], ddl))
+    assert {r["v"] for r in sink.read(spark).collect()} == {7, None}
