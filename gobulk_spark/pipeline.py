@@ -350,6 +350,15 @@ def run_pipeline(
         def _write_kept() -> None:
             rows = executor.kept_rows(decided, KEPT_COLUMNS)
             if use_merge:
+                # no kept rows (idle incremental sweep, all-dropped
+                # batch): skip the commit entirely — an empty merge
+                # grows the log by one no-op entry + one empty file per
+                # run. The guard is free when the probe ran (kept-pair
+                # count already computed); first runs without an
+                # existing store pay one bounded isEmpty job
+                empty = (probe3[4] == 0) if probe3 else rows.isEmpty()
+                if empty:
+                    return
                 # atomic upsert: replaces updated ids, appends creates.
                 # Duplicate ids cannot reach here: resolve_conflicting_
                 # ids collapsed same-id different-content siblings to

@@ -275,7 +275,13 @@ def _process_microbatch(
     # never driver-side id lists (a sink failing a whole epoch must not
     # become an isin() expression bomb); see executor.failures_frame
     if _use_merge(sink):
-        sink.merge(spark, rid, to_write)
+        # skip the commit when the epoch kept nothing and no queued
+        # rows drain — an empty merge would grow the log by a no-op
+        # entry per idle epoch (the probe's kept-pair count makes the
+        # guard free; a conflict resolution never zeroes it, every
+        # conflicted id keeps its winner)
+        if _n_kept_pairs or pend is not None:
+            sink.merge(spark, rid, to_write)
         failed = None
     else:
         failed = executor.failures_frame(spark, sink.write(to_write, rid))

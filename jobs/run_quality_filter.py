@@ -78,6 +78,10 @@ def main() -> None:
     ap.add_argument("--retain-last", type=int, default=0,
                     help="--vacuum: keep the last N+1 versions "
                          "time-travelable (0 = latest only)")
+    ap.add_argument("--history", action="store_true",
+                    help="maintenance: print the txlog kept store's "
+                         "commit history (version, op, run_id, files "
+                         "added/removed) as JSON and exit")
     ap.add_argument("--delete-where", type=str, default=None,
                     help="maintenance: predicate delete on the txlog "
                          "kept store, e.g. 'lang=und' or 'ppl>900' "
@@ -106,18 +110,34 @@ def main() -> None:
     from gobulk_spark import lineage
     from gobulk_spark.config import PipelineConfig
 
-    maintenance = (args.pause or args.unpause or args.optimize or args.vacuum or args.delete_where)
+    maintenance = (args.pause or args.unpause or args.optimize or args.vacuum or args.delete_where or args.history)
     if not maintenance and not args.source:
         ap.error(
             "--source is required unless --pause/--unpause/--optimize/"
-            "--vacuum/--delete-where"
+            "--vacuum/--delete-where/--history"
         )
 
-    if args.optimize or args.vacuum or args.delete_where:
+    if args.optimize or args.vacuum or args.delete_where or args.history:
         from gobulk_spark.txlog import TxLogKeptSink
 
         tx = TxLogKeptSink(args.out)
         out = {"out": args.out}
+        if args.history:
+            out["history"] = [
+                {
+                    "version": e["version"],
+                    "op": e["op"],
+                    "run_id": e.get("run_id"),
+                    "added": len(e.get("add", [])),
+                    "removed": len(e.get("remove", [])),
+                    **(
+                        {"predicate": e["predicate"]}
+                        if "predicate" in e
+                        else {}
+                    ),
+                }
+                for e in tx.history(spark)
+            ]
         if args.delete_where:
             out["delete_where"] = tx.delete_where(
                 spark,
