@@ -1072,7 +1072,9 @@ def _ensure_txlog_events_store(spark: SparkSession, sf_dir: str):
     range-CLUSTERED write commits (event_id mod 3, write_cluster_by
     user_id), a MERGE-shaped delete (error events under 5.00), a MERGE
     upsert (sub-20-user purchases re-priced ×2 in the same commit that
-    appends two synthetic rows), and OPTIMIZE cluster_by=user_id.
+    appends two synthetic rows), OPTIMIZE cluster_by=user_id, and a
+    DELETE WHERE (user_id >= 120) predicate delete whose clustered top
+    range partially rides the metadata-only whole-file tier.
     image_id carries per-file bloom sidecars, so the point-lookup leg
     of the pruned query skips on blooms where min/max cannot. Rebuilt
     fresh once per process; ``value`` is carried as integer cents so
@@ -1125,6 +1127,13 @@ def _ensure_txlog_events_store(spark: SparkSession, sf_dir: str):
     )
     sink.merge(spark, "fixup", upd.unionByName(syn))
     sink.optimize(spark, target_file_bytes=1 << 20, cluster_by=["user_id"])
+    # predicate delete AFTER compaction (DELETE WHERE): with the table
+    # clustered by user_id, the top range is stats-provable, so part of
+    # this delete rides the metadata-only whole-file tier (the tier
+    # itself is plan-pinned in pytest; the driver checks the SEMANTICS
+    # against DuckDB). At sf0.001 no user reaches 120 and the guard
+    # commits nothing — consistent with the oracle's filter there
+    sink.delete_where(spark, "gdpr", [("user_id", ">=", 120)])
     _TXLOG_STORES.add(root)
     return sink
 
@@ -1133,7 +1142,8 @@ def q_txlog_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip through the from-scratch transaction-log table format
     (gobulk_spark/txlog.py), driver-checked against DuckDB reading the
     ORIGINAL parquet: 3 clustered write commits + MERGE delete + MERGE
-    upsert (re-price + append in one commit) + clustered OPTIMIZE, then
+    upsert (re-price + append in one commit) + clustered OPTIMIZE +
+    DELETE WHERE (user_id >= 120, partially metadata-only), then
     (a) a min/max-stats range-pruned read aggregated per event type and
     (b) a bloom-skipped image_id point lookup. Equality proves the log
     replay, both merge rewrites, the clustered compaction AND both file-
@@ -1780,17 +1790,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM surv
                 UNION ALL SELECT 'syn-1', 15, 'purchase', 111
                 UNION ALL SELECT 'syn-2', 25, 'signup', 222
+            ), final AS (
+                -- DELETE WHERE user_id >= 120 (no-op at sf0.001)
+                SELECT * FROM merged WHERE user_id < 120
             )
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
-            FROM merged
+            FROM final
             WHERE user_id >= 10 AND user_id < 40
             GROUP BY event_type
             UNION ALL
             SELECT '__point__', COUNT(*), CAST(SUM(cents) AS BIGINT)
-            FROM merged
+            FROM final
             WHERE image_id = (SELECT CAST(max(event_id) AS VARCHAR)
-                              FROM surv)
+                              FROM surv WHERE user_id < 120)
         """,
         "txlog_change_feed_rollup": """
             SELECT event_type, COUNT(*) AS n
@@ -1799,6 +1812,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WHERE NOT (event_type = 'error'
                            AND CAST(round(value * 100) AS BIGINT) < 500)
+                  AND user_id < 120  -- DELETE WHERE fold
                 UNION ALL SELECT 'purchase'
                 UNION ALL SELECT 'signup'
             )
