@@ -428,6 +428,28 @@ def q_embedding_ivf_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both embedding near-dup pair generators (plain banded LSH and the
+    IVF-cell-scoped variant) in ONE rows-only query, labelled by family
+    (round-5: frees a slot inside the driver's 50-query correctness
+    window for an oracle-checked entry; each family's pair recall is
+    separately driver-gated in ``ann_recall_gates``)."""
+    parts = (
+        ("banded", q_embedding_near_dup_pairs),
+        ("ivf_scoped", q_embedding_ivf_near_dups),
+    )
+    out = None
+    for fam, fn in parts:
+        df = fn(spark, sf_dir).select(
+            F.lit(fam).alias("family"),
+            F.col("id_a"),
+            F.col("id_b"),
+            F.round(F.col("cosine"), 6).alias("cosine"),
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def q_embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN: 8-byte codes (32x compression of float32
     dim-64), asymmetric-distance top-k via a driver-built lookup table
@@ -1278,6 +1300,23 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain-mixture resampling (XLM-R alpha-
+    sampling) at alpha=0 / target 80% of the corpus: the integer
+    water-filling level fully keeps every under-represented language
+    and downsamples the over-represented one to the level, with rates
+    quantized to the 256 md5 buckets. alpha=0 keeps every arithmetic
+    step integer-exact, so the oracle re-derives the identical level
+    closed-form over the sorted histogram (segment scan instead of the
+    operator's binary search — same max level by monotonicity)."""
+    from gobulk_spark.operators.quality import temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    out = temperature_sample(d, "doc_id", "lang", target_total=4 * n // 5)
+    return out.select("doc_id", "lang")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS (exact jaccard >= 0.5 over 2-gram shingles) folded
     into CLUSTERS via distributed connected components; cluster_id is the
@@ -1467,13 +1506,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # image near-dup pairs by phash banding vs the DuckDB all-pairs
         # hamming scan over the same corpus parquet
         "phash_near_dup_images": q_phash_near_dup_images,
+        # temperature-based domain-mixture resampling (XLM-R alpha-
+        # sampling): integer water-filling level, md5-bucket-quantized
+        # rates, exact closed-form re-derivation in the oracle
+        "domain_mixture_sample": q_domain_mixture_sample,
         # rows-only tail (vectorized Arrow UDF / seeded-RNG operators) —
         # MUST stay last: everything above is oracle-checked and the
         # driver records exactly the first 50 entries
         "flagship_quality_filter": q_flagship_quality_filter,
         "embedding_ann_families": q_embedding_ann_families,
-        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
-        "embedding_ivf_near_dups": q_embedding_ivf_near_dups,
+        "embedding_near_dup_families": q_embedding_near_dup_families,
     }
 
 
@@ -2012,6 +2054,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE substring(md5(CAST(doc_id AS VARCHAR) || '|' || lang), 1, 2) <
                   CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40' ELSE '19' END
+        """,
+        # temperature_sample at alpha=0: the operator's binary-searched
+        # water-filling level re-derived closed-form — sorted histogram,
+        # one level candidate per segment (rn-1 domains fully kept),
+        # c_k = (T - prefix) // (L - (rn-1)) clamped into [prev_n, n-1];
+        # the max valid candidate IS the operator's max level because
+        # kept(c) is monotone. Rates quantized to 256 md5 buckets; the
+        # bucket is the md5 prefix pair decoded by hex-digit position
+        # (Spark side uses conv(,16,10) — same integer).
+        "domain_mixture_sample": """
+            WITH counts AS (
+                SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+            ), tgt AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS big_n, COUNT(*) AS l,
+                       CAST(SUM(n) * 4 // 5 AS BIGINT) AS t
+                FROM counts
+            ), ord AS (
+                SELECT lang, n,
+                       ROW_NUMBER() OVER (ORDER BY n, lang) AS rn,
+                       SUM(n) OVER (ORDER BY n, lang
+                                    ROWS UNBOUNDED PRECEDING) - n AS s_prev,
+                       COALESCE(LAG(n) OVER (ORDER BY n, lang), 0) AS prev_n
+                FROM counts
+            ), segs AS (
+                SELECT (t.t - o.s_prev) // (t.l - (o.rn - 1)) AS c_k,
+                       o.prev_n, o.n
+                FROM ord o, tgt t
+            ), level AS (
+                SELECT MAX(LEAST(c_k, n - 1)) AS c
+                FROM segs WHERE c_k >= prev_n
+            ), thr AS (
+                SELECT c2.lang,
+                       CASE WHEN t.t >= t.big_n THEN CAST(256 AS BIGINT)
+                            ELSE 256 * LEAST(c2.n, l2.c) // c2.n END AS t_l
+                FROM counts c2, level l2, tgt t
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr ON d.lang = thr.lang
+            WHERE (strpos('0123456789abcdef', substring(
+                       md5(CAST(d.doc_id AS VARCHAR) || '|' || d.lang),
+                       1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substring(
+                       md5(CAST(d.doc_id AS VARCHAR) || '|' || d.lang),
+                       2, 1)) - 1)
+                < thr.t_l
         """,
         # exact semantics of the operator contract: 64-bit simhash =
         # per-token md5 (first 8 bytes, big-endian) majority vote over

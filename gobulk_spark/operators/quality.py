@@ -230,6 +230,98 @@ def stratified_sample(
     return df.where(b < thr)
 
 
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    target_total: int,
+    alpha: float = 0.0,
+) -> DataFrame:
+    """Temperature-based domain-mixture resampling (the alpha-sampling
+    of Conneau et al. 2020, XLM-R §3.1): downsample over-represented
+    strata (languages, domains) so the kept corpus totals at most
+    ``target_total`` rows, with the mixture flattened toward
+    ``n_i ** alpha``.
+
+    The kept count per stratum is ``m_i = min(n_i, lam * n_i**alpha)``
+    for the largest water level ``lam`` with ``sum(m_i) <=
+    target_total``.  At the default ``alpha=0`` this is the classic
+    integer LEVEL ``c``: strata at or below the level are fully kept,
+    larger ones are cut to it — and every arithmetic step stays
+    integer-exact (the level is found by integer binary search, rates
+    quantized to ``256 * min(n, c) // n`` md5 buckets), so a SQL oracle
+    can re-derive the identical level closed-form from the sorted
+    histogram.  ``alpha > 0`` bisects the continuous level; ``alpha=1``
+    degenerates to one uniform rate across all strata.
+
+    Membership is md5-gated like hash_split / stratified_sample: a row
+    is kept iff the first md5 byte of ``id|stratum`` falls below the
+    stratum's quantized rate — deterministic, partition/rerun-
+    invariant, and stable under incremental appends.  Rows with a NULL
+    stratum have no mixture identity and are dropped.
+
+    Scale shape: one map-side-combined groupBy builds a histogram of L
+    longs on the driver, the level search is O(L log max_n) driver
+    arithmetic, and the filter itself is a broadcast-joined pure column
+    predicate — the data rows never shuffle.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return df.where(F.lit(False))
+    total = sum(counts.values())
+    t = int(target_total)
+    if t >= total:
+        rates = {s: 256 for s in counts}
+    elif alpha == 0.0:
+        # largest integer level c with sum(min(n_i, c)) <= t; kept() is
+        # monotone so the closed-form segment-scan oracle finds the same c
+        lo, hi = 0, max(counts.values())
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if sum(min(n, mid) for n in counts.values()) <= t:
+                lo = mid
+            else:
+                hi = mid - 1
+        rates = {s: 256 * min(n, lo) // n for s, n in counts.items()}
+    else:
+        flo, fhi = 0.0, max(n / (n**alpha) for n in counts.values())
+        for _ in range(80):
+            mid = (flo + fhi) / 2
+            if sum(min(n, mid * n**alpha) for n in counts.values()) <= t:
+                flo = mid
+            else:
+                fhi = mid
+        rates = {
+            s: min(256, int(256 * min(n, flo * n**alpha)) // n)
+            for s, n in counts.items()
+        }
+    strata_type = df.schema[strata_col].dataType
+    thr_df = df.sparkSession.createDataFrame(
+        sorted(rates.items()),
+        StructType(
+            [
+                StructField(strata_col, strata_type, False),
+                StructField("_t_l", LongType(), False),
+            ]
+        ),
+    )
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit("|"), F.col(strata_col))
+    )
+    bucket = F.conv(F.substring(key, 1, 2), 16, 10).cast("long")
+    return (
+        df.join(F.broadcast(thr_df), strata_col)
+        .where(bucket < F.col("_t_l"))
+        .drop("_t_l")
+    )
+
+
 def segment_dedup_rewrite(
     df: DataFrame,
     id_col: str,

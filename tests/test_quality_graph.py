@@ -17,6 +17,7 @@ from gobulk_spark.operators.quality import (
     repetition_stats,
     segment_dedup_stats,
     stratified_sample,
+    temperature_sample,
 )
 
 
@@ -124,6 +125,95 @@ def test_stratified_sample_rates_and_subset(spark):
     # deterministic: a second evaluation is identical
     out2 = stratified_sample(df, "doc_id", "lang", {"en": 0.5, "de": 0.1})
     assert out.exceptAll(out2).isEmpty()
+
+
+def _temperature_expected(rows, target_total, alpha=0.0):
+    """Independent pure-python water-filling + md5 gate (the test's own
+    oracle, like the union-find cross-check for CC)."""
+    import hashlib
+    from collections import Counter
+
+    counts = Counter(lang for _, lang in rows)
+    total = sum(counts.values())
+    if target_total >= total:
+        rates = {s: 256 for s in counts}
+    elif alpha == 0.0:
+        c = 0
+        while sum(min(n, c + 1) for n in counts.values()) <= target_total:
+            c += 1
+        rates = {s: 256 * min(n, c) // n for s, n in counts.items()}
+    else:
+        flo, fhi = 0.0, max(n / n**alpha for n in counts.values())
+        for _ in range(80):
+            mid = (flo + fhi) / 2
+            if sum(min(n, mid * n**alpha) for n in counts.values()) <= target_total:
+                flo = mid
+            else:
+                fhi = mid
+        rates = {
+            s: min(256, int(256 * min(n, flo * n**alpha)) // n)
+            for s, n in counts.items()
+        }
+    kept = set()
+    for doc_id, lang in rows:
+        b = int(hashlib.md5(f"{doc_id}|{lang}".encode()).hexdigest()[:2], 16)
+        if b < rates[lang]:
+            kept.add((doc_id, lang))
+    return kept, rates
+
+
+def test_temperature_sample_alpha0_exact_level(spark):
+    # en=100 de=50 fr=10, target 100: level c=45 (45+45+10=100; 46 -> 102)
+    rows = (
+        [(i, "en") for i in range(100)]
+        + [(1000 + i, "de") for i in range(50)]
+        + [(2000 + i, "fr") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "doc_id", "lang", target_total=100)
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    expected, rates = _temperature_expected(rows, 100)
+    assert rates == {"en": 256 * 45 // 100, "de": 256 * 45 // 50, "fr": 256}
+    assert got == expected
+    # under-represented stratum is fully kept
+    assert {(d, l) for d, l in rows if l == "fr"} <= got
+    # partition-invariant
+    got2 = {
+        (r["doc_id"], r["lang"])
+        for r in temperature_sample(
+            df.repartition(13), "doc_id", "lang", target_total=100
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_temperature_sample_keep_all_and_empty(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    assert temperature_sample(df, "doc_id", "lang", 60).count() == 60
+    assert temperature_sample(df, "doc_id", "lang", 10_000).count() == 60
+    assert temperature_sample(df, "doc_id", "lang", 0).count() == 0
+
+
+def test_temperature_sample_alpha1_uniform_rate(spark):
+    rows = [(i, "en") for i in range(300)] + [(500 + i, "de") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "doc_id", "lang", 200, alpha=1.0)
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    expected, rates = _temperature_expected(rows, 200, alpha=1.0)
+    assert got == expected
+    # alpha=1 is uniform downsampling: one shared quantized rate
+    assert len(set(rates.values())) == 1
+
+
+def test_temperature_sample_filter_is_broadcast(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    plan = _plan(temperature_sample(df, "doc_id", "lang", 100))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def _plan(df) -> str:
