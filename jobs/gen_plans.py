@@ -114,6 +114,12 @@ sections.append(("At-rest IVF ANN over the cell-partitioned store",
   fmt(ivf_ann_pruned(spark, "/tmp/gobulk_plans_ivf_store", list(q0), cents,
                      k=10, n_probe=4))))
 
+sections.append(("Temperature-based domain-mixture resampling",
+  "The histogram groupBy + driver level search happen before this plan is built; the "
+  "filter itself is ONE BroadcastHashJoin against the L-row threshold table plus a "
+  "codegen md5-bucket predicate — zero Exchange of data rows, no Python eval.",
+  fmt(em.queries()["domain_mixture_sample"](spark, sf))))
+
 out = io.StringIO()
 out.write("""# PLANS — annotated physical plans of the hot paths
 
