@@ -1582,6 +1582,75 @@ class TxLogKeptSink:
         """The committed log, oldest first (Delta's DESCRIBE HISTORY)."""
         return self._entries(spark)
 
+    def restore(
+        self, spark: SparkSession, run_id: str, to_version: int
+    ) -> int | None:
+        """RESTORE TABLE ... TO VERSION AS OF (Delta parity): ONE commit
+        whose post-state live set equals the live set at ``to_version``.
+        Metadata-only — no data file is read, copied, or rewritten; the
+        commit re-adds the files that were live then and removes the
+        ones live now, carrying the old entries' recorded sizes/stats
+        forward so data skipping keeps working on the restored files.
+
+        The restore is itself a log entry: time travel to versions
+        BETWEEN ``to_version`` and the restore still works, history
+        explains the rollback (``restore_of``), and the change feed
+        emits the exact row delta (re-added files as inserts, dropped
+        files as deletes) so downstream incremental consumers follow
+        the rollback without a rescan. One divergence from Delta,
+        by design: the log schema stays the current union (this store
+        evolves additively and every read projects to the log schema),
+        so restored pre-evolution rows read NULL in newer columns.
+
+        Fails up front if ``vacuum`` already reclaimed any file the
+        restore needs (same boundary as time travel). Returns the new
+        version, or None when the table is already at that state.
+        OCC like every mutation: derived from a snapshot, committed
+        against exactly that version, re-derived on a race."""
+        fs = self._fs(spark)
+        for _ in range(MAX_COMMIT_ATTEMPTS):
+            now, _, base_version, last_schema = self._state(spark)
+            if to_version > base_version:
+                raise ValueError(
+                    f"restore to v{to_version}: table is at v{base_version}"
+                )
+            then, _, _, _ = self._state(spark, to_version)
+            add = {p: t for p, t in then.items() if p not in now}
+            remove = sorted(p for p in now if p not in then)
+            if not add and not remove:
+                return None  # already at that state: no empty commit
+            missing = sorted(p for p in add if not fs.exists(self._abs(p)))
+            if missing:
+                raise ValueError(
+                    f"restore to v{to_version} needs vacuumed files: "
+                    + ", ".join(missing[:5])
+                    + ("..." if len(missing) > 5 else "")
+                )
+            v = self._commit(
+                spark,
+                {
+                    "op": "restore",
+                    "settings": self._settings_for_commit(fs),
+                    "run_id": run_id,
+                    "restore_of": to_version,
+                    "add": sorted(add),
+                    "add_bytes": {
+                        p: t[2] for p, t in add.items() if t[2] is not None
+                    },
+                    "stats": {
+                        p: t[3] for p, t in add.items() if t[3] is not None
+                    },
+                    "remove": remove,
+                    "schema": last_schema,
+                },
+                base_version=base_version,
+            )
+            if v is not None:
+                return v
+        raise OSError(
+            f"txlog restore lost {MAX_COMMIT_ATTEMPTS} snapshot races"
+        )
+
     def vacuum(self, spark: SparkSession, retain_last: int = 0) -> int:
         """Delete data files not live at any of the last
         ``retain_last + 1`` versions — Delta's VACUUM with its RETAIN
@@ -1850,6 +1919,8 @@ class TxLogKeptSink:
         - merge: deletes = matched pre-image rows (removed minus the
           bystander rewrites); inserts = the update rows.
         - optimize: no logical change, nothing emitted.
+        - restore: re-added files' rows as inserts, dropped files'
+          rows as deletes — a rollback is a logical change.
 
         Requires the range's files to still exist: ``vacuum`` ends
         change feeds over the versions it reclaims, same as time travel.
@@ -1920,6 +1991,15 @@ class TxLogKeptSink:
                     )
                 if appended:
                     frames.append(tag(rows(sorted(appended)), "insert", v))
+            elif e["op"] == "restore":
+                # a rollback IS a logical change: re-added files' rows
+                # come back (insert), currently-live files' rows leave
+                # (delete) — add/remove sets are disjoint file sets, so
+                # whole-file row reads give the exact multiset delta
+                if removed:
+                    frames.append(tag(rows(removed), "delete", v))
+                if adds:
+                    frames.append(tag(rows(adds), "insert", v))
             self._apply(live, e)
         if not frames:
             return None

@@ -82,6 +82,10 @@ def main() -> None:
                     help="maintenance: print the txlog kept store's "
                          "commit history (version, op, run_id, files "
                          "added/removed) as JSON and exit")
+    ap.add_argument("--restore", type=int, default=None,
+                    help="maintenance: roll the txlog kept store back "
+                         "to this version (one metadata-only commit; "
+                         "change feed shows the exact row delta)")
     ap.add_argument("--delete-where", type=str, default=None,
                     help="maintenance: predicate delete on the txlog "
                          "kept store, e.g. 'lang=und' or 'ppl>900' "
@@ -110,14 +114,17 @@ def main() -> None:
     from gobulk_spark import lineage
     from gobulk_spark.config import PipelineConfig
 
-    maintenance = (args.pause or args.unpause or args.optimize or args.vacuum or args.delete_where or args.history)
+    maintenance = (args.pause or args.unpause or args.optimize or args.vacuum
+                   or args.delete_where or args.history
+                   or args.restore is not None)
     if not maintenance and not args.source:
         ap.error(
             "--source is required unless --pause/--unpause/--optimize/"
-            "--vacuum/--delete-where/--history"
+            "--vacuum/--delete-where/--history/--restore"
         )
 
-    if args.optimize or args.vacuum or args.delete_where or args.history:
+    if (args.optimize or args.vacuum or args.delete_where or args.history
+            or args.restore is not None):
         from gobulk_spark.txlog import TxLogKeptSink
 
         tx = TxLogKeptSink(args.out)
@@ -138,6 +145,11 @@ def main() -> None:
                 }
                 for e in tx.history(spark)
             ]
+        if args.restore is not None:
+            out["restored_to"] = args.restore
+            out["restore_version"] = tx.restore(
+                spark, f"cli-restore-{uuid.uuid4().hex[:8]}", args.restore
+            )
         if args.delete_where:
             out["delete_where"] = tx.delete_where(
                 spark,

@@ -388,6 +388,71 @@ def test_retried_committed_run_preserves_history_after_rewrite(spark):
 
 
 # ---------------------------------------------------------------------------
+def test_restore_rolls_back_metadata_only_with_exact_feed(spark):
+    """RESTORE TO VERSION: one commit flips the live set back to the
+    old snapshot without touching data bytes; versions between stay
+    time-travelable; the change feed carries the exact row delta so a
+    folded consumer follows the rollback."""
+    from collections import Counter
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "restore"))
+    df1 = spark.createDataFrame(
+        [("a", "x", 1), ("b", "x", 2)], "image_id string, lang string, v int"
+    ).coalesce(1)
+    df2 = spark.createDataFrame(
+        [("c", "y", 3)], "image_id string, lang string, v int"
+    )
+    sink.write(df1, "r1")  # v1 {a,b}
+    sink.write(df2, "r2")  # v2 {a,b,c}
+    out = sink.delete_where(spark, "rdel", [("v", "<=", 1)])  # v3 {b,c}
+    assert out["version"] == 3
+    rv = sink.restore(spark, "roll", 2)  # v4 == v2's state
+    assert rv == 4
+    assert {r["image_id"] for r in sink.read(spark).collect()} == {"a", "b", "c"}
+    # versions BETWEEN the target and the restore still time travel
+    assert {r["image_id"] for r in sink.read(spark, version=3).collect()} == {
+        "b",
+        "c",
+    }
+    hist = sink.history(spark)
+    assert hist[-1]["op"] == "restore" and hist[-1]["restore_of"] == 2
+    # metadata-only: the restore commit landed no new data files — its
+    # adds were all already referenced by earlier commits
+    earlier = {p for e in hist[:-1] for p in e.get("add", ())}
+    assert set(hist[-1]["add"]) <= earlier and hist[-1]["add"]
+    # carried stats: the re-added files keep their recorded stats so
+    # data skipping works on the restored table
+    assert any(hist[-1]["stats"].values())
+    # restoring to the state the table is already at is a no-op
+    assert sink.restore(spark, "roll2", 2) is None
+    assert len(sink.history(spark)) == 4
+    # exact multiset feed: folding every commit window reproduces the
+    # final table through the rollback
+    state: Counter = Counter()
+    for r in sink.read_changes(spark, from_version=0).collect():
+        state[(r["image_id"], r["v"])] += (
+            1 if r["_change_type"] == "insert" else -1
+        )
+    assert {k for k, n in state.items() if n} == {("a", 1), ("b", 2), ("c", 3)}
+    assert all(n in (0, 1) for n in state.values())
+
+
+def test_restore_refuses_future_and_vacuumed_targets(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "restore_bad"))
+    df = spark.createDataFrame(
+        [("a", "x", 1)], "image_id string, lang string, v int"
+    )
+    sink.write(df, "r1")  # v1
+    with pytest.raises(ValueError, match="table is at"):
+        sink.restore(spark, "roll", 9)
+    sink.write(df, "r1")  # v2: retried run supersedes v1's files
+    assert sink.vacuum(spark) > 0  # v1's files reclaimed
+    with pytest.raises(ValueError, match="vacuumed"):
+        sink.restore(spark, "roll", 1)
+
+
 # model-based property test: random op sequences vs a reference model
 # ---------------------------------------------------------------------------
 
@@ -415,6 +480,11 @@ _op = st.one_of(
     ),
     st.tuples(
         st.just("optimize"),
+        st.just(""),
+        st.just([]),
+    ),
+    st.tuples(
+        st.just("restore"),
         st.just(""),
         st.just([]),
     ),
@@ -451,6 +521,15 @@ def test_txlog_random_op_sequences_match_model(spark, ops):
             if sink.optimize(spark, target_file_bytes=1 << 30) == 0:
                 assert table() == set(model)
                 continue  # nothing to pack: no commit
+        elif kind == "restore":
+            if not versions:
+                continue  # nothing committed yet: nothing to roll to
+            tv, expect = versions[len(versions) // 2]
+            rv = sink.restore(spark, f"restore-to-{tv}", tv)
+            model = sorted(expect)
+            if rv is None:  # already at that state: no commit
+                assert table() == set(model)
+                continue
         elif kind == "write":
             df = spark.createDataFrame(
                 [(i, "x", 1) for i in ids], "image_id string, lang string, v int"
