@@ -73,6 +73,10 @@ HEADLINE = (
     "segment_dedup_rewrite",
     "sequence_packing",
     "dsir_importance_weights",
+    # round-5 operators (phash runs the fixed 1500-image corpus — an
+    # operator-throughput leg, not an sf-scaled one)
+    "phash_near_dup_images",
+    "domain_mixture_sample",
 )
 
 # (master, taskset cpu list) — 2N CPUs per N-task leg, see module doc

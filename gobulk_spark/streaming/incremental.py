@@ -279,8 +279,11 @@ def _process_microbatch(
         # rows drain — an empty merge would grow the log by a no-op
         # entry per idle epoch (the probe's kept-pair count makes the
         # guard free; a conflict resolution never zeroes it, every
-        # conflicted id keeps its winner)
-        if _n_kept_pairs or pend is not None:
+        # conflicted id keeps its winner). A queue that EXISTS but
+        # drains to zero rows after the anti-joins must not commit
+        # either — pend is an eager localCheckpoint here, so the
+        # isEmpty probe is bounded driver work, not a recompute
+        if _n_kept_pairs or (pend is not None and not pend.isEmpty()):
             sink.merge(spark, rid, to_write)
         failed = None
     else:

@@ -99,6 +99,7 @@ _STR_STAT_LEN = 64
 _MAX_CODEPOINT = "\U0010ffff"
 
 _PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=")
+_INT_FIELD_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 #: per-file bloom filters (Iceberg's puffin blobs / Delta's bloom
 #: index): min/max bounds cannot prune a POINT lookup on a
@@ -499,6 +500,13 @@ class TxLogKeptSink:
         stale, and the caller must re-derive it (returns None)."""
         fs = self._fs(spark)
         fs.mkdirs(self.log_dir)
+        if "constraints" not in entry:
+            # table metadata rides EVERY commit (like settings): a
+            # maintenance entry that dropped the key would break the
+            # carry-forward chain for the next writer's enforcement
+            cons = self._constraints_for_commit(fs)
+            if cons:
+                entry["constraints"] = cons
         for _ in range(MAX_COMMIT_ATTEMPTS):
             versions = [int(n.split(".")[0]) for n in self._entry_names(fs)]
             v = (max(versions) + 1) if versions else 1
@@ -768,14 +776,51 @@ class TxLogKeptSink:
         return reduce(and_, [one(*p) for p in predicates])
 
     @staticmethod
-    def _check_predicates(predicates: list[tuple], fields: dict) -> None:
-        for col, op, _ in predicates:
+    def _check_predicates(
+        predicates: list[tuple], fields: dict
+    ) -> list[tuple]:
+        """Validate AND normalize: ops whitelisted, columns in the
+        schema, literals coerced to the column's DECLARED type. The
+        CLI auto-types literals by spelling, so 'image_id=42' arrives
+        as int against a string column — the driver-side stats
+        comparison would raise TypeError (Python refuses int < str)
+        and Spark's row filter would cast the COLUMN instead of the
+        literal. Schema is the authority. Numeric cross-width stays
+        untouched (int literal vs double column compares exactly in
+        both tiers; truncating 3.5 to 3 for a bigint column would
+        CHANGE range semantics)."""
+        out: list[tuple] = []
+        for col, op, val in predicates:
             if op not in _PRUNE_OPS:
                 raise ValueError(f"unsupported predicate op {op!r}")
             if col not in fields:
                 raise ValueError(
                     f"predicate column {col!r} not in table schema"
                 )
+            t = fields[col]
+            if val is not None:
+                try:
+                    if t == "string" and not isinstance(val, str):
+                        val = str(val)
+                    elif t in _INT_FIELD_TYPES and isinstance(val, str):
+                        try:
+                            val = int(val)
+                        except ValueError:
+                            val = float(val)
+                    elif t in ("float", "double") and isinstance(val, str):
+                        val = float(val)
+                    elif t == "boolean" and isinstance(val, str):
+                        low = val.strip().lower()
+                        if low not in ("true", "false", "0", "1"):
+                            raise ValueError(val)
+                        val = low in ("true", "1")
+                except ValueError:
+                    raise ValueError(
+                        f"predicate literal {val!r} does not coerce "
+                        f"to {col}'s type {t}"
+                    ) from None
+            out.append((col, op, val))
+        return out
 
     def _bloom_sidecar(self, spark: SparkSession, ref: str) -> dict:
         """Parsed bloom sidecar, cached per sink instance — a warehouse
@@ -921,7 +966,7 @@ class TxLogKeptSink:
         if not snap:
             return [], 0, schema
         fields = _ddl_to_fields(spark, schema) if schema else {}
-        self._check_predicates(predicates, fields)
+        predicates = self._check_predicates(predicates, fields)
         kept = self._surviving(spark, snap, predicates, fields)
         return sorted(kept), len(snap), schema
 
@@ -1045,14 +1090,35 @@ class TxLogKeptSink:
             merged.setdefault(n, t)
         return ", ".join(f"{n} {t}" for n, t in merged.items())
 
-    def _constrained(self, df: DataFrame):
+    def _constraints_for_commit(self, fs: Fs) -> dict:
+        """CHECK constraints bind the TABLE, not the writer (Delta
+        keeps them in table metadata): a writer constructed without
+        ``constraints=`` — the CLI's default sink, maintenance jobs,
+        recovery — inherits the store's recorded constraints instead
+        of silently skipping enforcement while history keeps claiming
+        the invariant. An instance that DOES declare constraints
+        replaces the recorded set (the ALTER CONSTRAINT verb)."""
+        if self.constraints:
+            return self.constraints
+        names = self._entry_names(fs)
+        if not names:
+            return {}
+        try:
+            last = json.loads(
+                fs.read_text(lineage._join(self.log_dir, names[-1]))
+            )
+        except Exception:
+            return {}
+        return last.get("constraints", {}) or {}
+
+    def _constrained(self, df: DataFrame, constraints: dict[str, str]):
         """(df', check) — df' carries an Observation whose aggregates
         count CHECK violations per constraint DURING the next action
         over df' (the landing write itself — no extra pass). Call
         ``check()`` after that action and before committing; it raises
         ConstraintViolation when any constraint saw a FALSE row. SQL
         CHECK semantics: NULL passes, only FALSE violates."""
-        if not self.constraints:
+        if not constraints:
             return df, lambda: None
         from pyspark.sql import Observation
 
@@ -1061,15 +1127,13 @@ class TxLogKeptSink:
             F.sum(
                 F.coalesce(~F.expr(e), F.lit(False)).cast("long")
             ).alias(n)
-            for n, e in sorted(self.constraints.items())
+            for n, e in sorted(constraints.items())
         ]
         df = df.observe(obs, *aggs)
 
         def check():
             got = obs.get
-            bad = {
-                n: int(got[n]) for n in self.constraints if got.get(n)
-            }
+            bad = {n: int(got[n]) for n in constraints if got.get(n)}
             if bad:
                 raise ConstraintViolation(self.root, bad)
 
@@ -1109,6 +1173,7 @@ class TxLogKeptSink:
                 fs.delete(d)
             staged = []
             live, ever, base_version, log_schema = self._state(spark)
+            cons = self._constraints_for_commit(fs)
             schema_ddl = self._union_schema(
                 spark, log_schema, df_fields, run_id
             )
@@ -1128,7 +1193,7 @@ class TxLogKeptSink:
             )
             abs_dir = self._abs(rel_dir)
             fs.delete(abs_dir)
-            out_obs, _check = self._constrained(out)
+            out_obs, _check = self._constrained(out, cons)
             out_obs.write.mode("overwrite").parquet(abs_dir)
             staged.append(abs_dir)
             try:
@@ -1195,7 +1260,7 @@ class TxLogKeptSink:
                 spark,
                 {
                     "op": "write",
-                    **({"constraints": self.constraints} if self.constraints else {}),
+                    **({"constraints": cons} if cons else {}),
                     "run_id": run_id,
                     "add": sorted(add_map),
                     "add_bytes": add_map,
@@ -1278,7 +1343,7 @@ class TxLogKeptSink:
             if not base_version or not snap:
                 return {"dropped_files": 0, "rewritten_files": 0, "version": None}
             fields = _ddl_to_fields(spark, last_schema) if last_schema else {}
-            self._check_predicates(predicates, fields)
+            predicates = self._check_predicates(predicates, fields)
             cand = self._surviving(spark, snap, predicates, fields)
             whole = [
                 p
@@ -1291,18 +1356,29 @@ class TxLogKeptSink:
             rewritten: list[str] = []
             rw_abs = None
             if maybe:
-                live = self._read_files(spark, maybe, last_schema)
-                if not whole and live.where(pred_expr).isEmpty():
-                    return {
-                        "dropped_files": 0,
-                        "rewritten_files": 0,
-                        "version": None,
-                    }
-                rewritten = maybe
+                # touched-file refinement (the probe delete()/merge()
+                # already use): stats only BOUND the candidates — a
+                # straddling [min,max] says "maybe", never "contains".
+                # One column-pruned pass finds the files holding actual
+                # victims, so a point delete rewrites 1 file instead of
+                # every straddler (and a no-match predicate rewrites 0)
+                probe = self._read_files(
+                    spark, maybe, last_schema
+                ).withColumn("_f", F.input_file_name())
+                hit_abs = [
+                    r["_f"]
+                    for r in probe.where(pred_expr)
+                    .select("_f")
+                    .distinct()
+                    .collect()
+                ]
+                rel_of = _uri_rel_mapper({self._abs(p): p for p in maybe})
+                rewritten = sorted({rel_of(u) for u in hit_abs})
+            if rewritten:
                 rw_rel = f"data/rw-{run_id}-{uuid.uuid4().hex[:8]}"
                 rw_abs = self._abs(rw_rel)
                 # survivors: predicate FALSE or NULL (null never deletes)
-                live.where(
+                self._read_files(spark, rewritten, last_schema).where(
                     ~F.coalesce(pred_expr, F.lit(False))
                 ).write.mode("overwrite").parquet(rw_abs)
                 add_map = self._dir_files(fs, rw_abs, rw_rel)
@@ -1467,6 +1543,7 @@ class TxLogKeptSink:
                 fs.delete(d)
             staged = []
             snap, _, base_version, log_schema = self._state(spark)
+            cons = self._constraints_for_commit(fs)
             schema_ddl = self._union_schema(
                 spark, log_schema, df_fields, run_id
             )
@@ -1474,7 +1551,7 @@ class TxLogKeptSink:
             # never the supersede target a write's run-dir is)
             new_rel = f"data/mrg-{run_id}-{uuid.uuid4().hex[:8]}"
             new_abs = self._abs(new_rel)
-            out_obs, _check = self._constrained(out)
+            out_obs, _check = self._constrained(out, cons)
             out_obs.write.mode("overwrite").parquet(new_abs)
             staged.append(new_abs)
             try:
@@ -1525,7 +1602,7 @@ class TxLogKeptSink:
                 spark,
                 {
                     "op": "merge",
-                    **({"constraints": self.constraints} if self.constraints else {}),
+                    **({"constraints": cons} if cons else {}),
                     "run_id": run_id,
                     "add": sorted(add_map),
                     "add_bytes": add_map,
@@ -1569,7 +1646,7 @@ class TxLogKeptSink:
         if not predicates:
             return self._read_files(spark, snap, schema)
         fields = _ddl_to_fields(spark, schema) if schema else {}
-        self._check_predicates(predicates, fields)
+        predicates = self._check_predicates(predicates, fields)
         kept = self._surviving(spark, snap, predicates, fields)
         expr = self._predicate_expr(predicates)
         if not kept:
@@ -1619,7 +1696,19 @@ class TxLogKeptSink:
             remove = sorted(p for p in now if p not in then)
             if not add and not remove:
                 return None  # already at that state: no empty commit
-            missing = sorted(p for p in add if not fs.exists(self._abs(p)))
+            # vacuum guard in O(directories) listings, not O(files)
+            # HEAD calls: re-added paths group under few run=/rw- dirs
+            by_dir: dict[str, set[str]] = {}
+            for p in add:
+                d, _, name = p.rpartition("/")
+                by_dir.setdefault(d, set()).add(name)
+            missing: list[str] = []
+            for d, names in sorted(by_dir.items()):
+                absd = self._abs(d)
+                present = (
+                    set(fs.listdir(absd)) if fs.exists(absd) else set()
+                )
+                missing += sorted(f"{d}/{n}" for n in names - present)
             if missing:
                 raise ValueError(
                     f"restore to v{to_version} needs vacuumed files: "

@@ -129,22 +129,6 @@ def main() -> None:
 
         tx = TxLogKeptSink(args.out)
         out = {"out": args.out}
-        if args.history:
-            out["history"] = [
-                {
-                    "version": e["version"],
-                    "op": e["op"],
-                    "run_id": e.get("run_id"),
-                    "added": len(e.get("add", [])),
-                    "removed": len(e.get("remove", [])),
-                    **(
-                        {"predicate": e["predicate"]}
-                        if "predicate" in e
-                        else {}
-                    ),
-                }
-                for e in tx.history(spark)
-            ]
         if args.restore is not None:
             out["restored_to"] = args.restore
             out["restore_version"] = tx.restore(
@@ -171,6 +155,22 @@ def main() -> None:
             out["vacuumed_files"] = tx.vacuum(
                 spark, retain_last=args.retain_last
             )
+        if args.history:
+            out["history"] = [
+                {
+                    "version": e["version"],
+                    "op": e["op"],
+                    "run_id": e.get("run_id"),
+                    "added": len(e.get("add", [])),
+                    "removed": len(e.get("remove", [])),
+                    **(
+                        {"predicate": e["predicate"]}
+                        if "predicate" in e
+                        else {}
+                    ),
+                }
+                for e in tx.history(spark)
+            ]
         print(json.dumps(out))
         spark.stop()
         return

@@ -1815,6 +1815,59 @@ def test_delete_where_null_rows_survive_and_no_match_is_noop(spark):
     assert sink.read(spark, version=v1).count() == 3
 
 
+def test_delete_where_coerces_literal_to_column_type(spark):
+    """The CLI auto-types literals by spelling, so 'image_id=42'
+    arrives as int 42 against a string column — the schema is the
+    authority: the literal coerces and the delete lands instead of a
+    TypeError inside the driver-side stats comparison. An uncoercible
+    literal fails with a clear error, not a crash."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "coerce"))
+    sink.write(
+        spark.createDataFrame(
+            [("41", "x", 1), ("42", "x", 2)],
+            "image_id string, lang string, v int",
+        ).coalesce(1),
+        "r1",
+    )
+    res = sink.delete_where(spark, "dw1", [("image_id", "=", 42)])
+    assert res["version"] is not None
+    assert {r["image_id"] for r in sink.read(spark).collect()} == {"41"}
+    # string literal against an int column coerces the other way
+    with pytest.raises(ValueError, match="does not coerce"):
+        sink.delete_where(spark, "dw3", [("v", "=", "abc")])
+    res2 = sink.delete_where(spark, "dw2", [("v", "=", "1")])
+    assert res2["version"] is not None
+    df = sink.read(spark)
+    assert df is None or df.count() == 0  # table emptied (None = no live files)
+
+
+def test_delete_where_rewrites_only_files_with_actual_victims(spark):
+    """Stats straddling is not containment: of two files whose
+    [min,max] both cover a point predicate, only the one holding a
+    matching row is rewritten (the same touched-file probe delete()
+    and merge() use); a predicate every file straddles but none
+    contains commits nothing."""
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "refine"))
+    ddl = "image_id string, lang string, v int"
+    sink.write(
+        spark.createDataFrame([("a", "x", 10), ("b", "x", 30)], ddl).coalesce(1),
+        "r1",
+    )  # file A: v in {10,30}
+    sink.write(
+        spark.createDataFrame([("c", "x", 15), ("d", "x", 25)], ddl).coalesce(1),
+        "r2",
+    )  # file B: v in {15,25}
+    # both files straddle 20; neither contains it -> no commit at all
+    res = sink.delete_where(spark, "dw0", [("v", "=", 20)])
+    assert res == {"dropped_files": 0, "rewritten_files": 0, "version": None}
+    # both straddle 25; only file B holds it -> ONE rewrite, A untouched
+    res = sink.delete_where(spark, "dw1", [("v", "=", 25)])
+    assert res["dropped_files"] == 0 and res["rewritten_files"] == 1
+    assert sorted(r["v"] for r in sink.read(spark).collect()) == [10, 15, 30]
+
+
 # -- CHECK constraints ------------------------------------------------------
 
 
@@ -1868,3 +1921,41 @@ def test_check_constraints_enforced_at_write_and_merge(spark):
     # clean merge still lands
     sink.merge(spark, "m2", spark.createDataFrame([("a", "x", 7)], ddl))
     assert {r["v"] for r in sink.read(spark).collect()} == {7, None}
+
+
+def test_check_constraints_bind_the_table_not_the_writer(spark):
+    """CHECK constraints are TABLE metadata (Delta), not per-instance
+    config: a writer constructed without constraints= — the CLI's
+    default sink, any maintenance job — inherits the store's recorded
+    constraints, and maintenance commits carry them forward so the
+    chain never breaks."""
+    from gobulk_spark.txlog import ConstraintViolation
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    path = os.path.join(BASE, "checkbind")
+    ddl = "image_id string, lang string, v int"
+    declared = TxLogKeptSink(path, constraints={"v_positive": "v > 0"})
+    declared.write(spark.createDataFrame([("a", "x", 1)], ddl), "r1")
+    # a default-constructed writer enforces the recorded constraints
+    plain = TxLogKeptSink(path)
+    with pytest.raises(ConstraintViolation):
+        plain.write(spark.createDataFrame([("b", "x", -5)], ddl), "r2")
+    plain.write(spark.createDataFrame([("b", "x", 2)], ddl), "r2")
+    # ...and its own commits record them (the carry-forward chain)
+    assert sink_last_constraints(plain, spark) == {"v_positive": "v > 0"}
+    # a maintenance commit (optimize packs the two small files) from a
+    # constraint-less instance keeps the chain intact for the NEXT one
+    assert TxLogKeptSink(path).optimize(spark, target_file_bytes=1 << 30) > 0
+    assert sink_last_constraints(plain, spark) == {"v_positive": "v > 0"}
+    with pytest.raises(ConstraintViolation):
+        TxLogKeptSink(path).merge(
+            spark, "m1", spark.createDataFrame([("a", "x", -1)], ddl)
+        )
+    # an instance DECLARING constraints replaces the recorded set
+    alter = TxLogKeptSink(path, constraints={"v_small": "v < 100"})
+    alter.write(spark.createDataFrame([("c", "x", -3)], ddl), "r3")
+    assert sink_last_constraints(plain, spark) == {"v_small": "v < 100"}
+
+
+def sink_last_constraints(sink, spark):
+    return sink.history(spark)[-1].get("constraints")
