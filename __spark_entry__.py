@@ -1200,17 +1200,29 @@ def q_txlog_change_feed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental-consumer contract, driver-checked: fold the
     row-level change feed (read_changes: inserts + deletes per commit,
     including the MERGE rewrite's deltas; optimize emits nothing)
-    forward version by version into a per-type count rollup. The result
-    must equal DuckDB aggregating the surviving rows directly — the
-    downstream never rescanned the table, yet lands on the same answer."""
-    from gobulk_spark.txlog import apply_changes_to_rollup
+    forward version by version into a per-type count rollup. Round 5:
+    the fold runs through the CHECKPOINTED consumer
+    (txlog.ChangeFeedConsumer) — one sweep per commit, each reading
+    only its window and publishing rollup + cursor with an atomic
+    pointer flip, so what the driver checks is the state chain's final
+    PUBLICATION (materialized-view maintenance), not an in-memory fold.
+    The result must equal DuckDB aggregating the surviving rows
+    directly — the downstream never rescanned the table, yet lands on
+    the same answer."""
+    import shutil as _shutil
+
+    from gobulk_spark.txlog import ChangeFeedConsumer
 
     sink = _ensure_txlog_events_store(spark, sf_dir)
+    state = (
+        f"/tmp/gobulk_txlog_feed_state/{spark.sparkContext.applicationId}"
+    )
+    _shutil.rmtree(state, ignore_errors=True)  # fresh consumer per call
+    consumer = ChangeFeedConsumer(sink, state, ["event_type"])
     last = sink.history(spark)[-1]["version"]
-    rollup = None
     for v in range(1, last + 1):
-        feed = sink.read_changes(spark, from_version=v - 1, to_version=v)
-        rollup = apply_changes_to_rollup(rollup, feed, ["event_type"])
+        consumer.sweep(spark, to_version=v)
+    rollup = consumer.rollup(spark)
     return rollup.select("event_type", F.col("n").cast("long").alias("n"))
 
 

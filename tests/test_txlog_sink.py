@@ -1815,6 +1815,119 @@ def test_delete_where_null_rows_survive_and_no_match_is_noop(spark):
     assert sink.read(spark, version=v1).count() == 3
 
 
+def _rollup_dict(df):
+    return {} if df is None else {r[0]: r["n"] for r in df.collect()}
+
+
+def _live_dict(sink, spark, key="lang"):
+    df = sink.read(spark)
+    if df is None:
+        return {}
+    return {r[0]: r["count"] for r in df.groupBy(key).count().collect()}
+
+
+def test_change_feed_consumer_checkpointed_sweeps(spark):
+    """Materialized-view maintenance: a CHECKPOINTED consumer follows
+    the store through writes, merges, predicate deletes, a restore and
+    an optimize — each sweep reads only its commit window, publishes
+    rollup+cursor atomically, and always equals a full recompute of the
+    live table. Idle and optimize-only windows advance the cursor
+    without republishing."""
+    from gobulk_spark.txlog import ChangeFeedConsumer
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "feedc"))
+    consumer = ChangeFeedConsumer(
+        sink, os.path.join(BASE, "feedc_state"), ["lang"]
+    )
+    ddl = "image_id string, lang string, v int"
+    # idle sweep on an empty store: nothing to do
+    assert consumer.sweep(spark) == {"from": 0, "to": 0, "published": False}
+    sink.write(
+        spark.createDataFrame(
+            [("a", "x", 1), ("b", "x", 2), ("c", "y", 3)], ddl
+        ).coalesce(1),
+        "r1",
+    )
+    sink.write(spark.createDataFrame([("d", "y", 4)], ddl), "r2")
+    # one sweep over a MULTI-commit window
+    res = consumer.sweep(spark)
+    assert res == {"from": 0, "to": 2, "published": True}
+    assert _rollup_dict(consumer.rollup(spark)) == {"x": 2, "y": 2}
+    # idle sweep: cursor already current
+    assert consumer.sweep(spark)["published"] is False
+    # follow a merge, a predicate delete, and a restore, sweeping each
+    sink.merge(spark, "m1", spark.createDataFrame([("a", "z", 9), ("e", "z", 5)], ddl))
+    consumer.sweep(spark)
+    assert _rollup_dict(consumer.rollup(spark)) == _live_dict(sink, spark)
+    sink.delete_where(spark, "dw", [("lang", "=", "y")])
+    consumer.sweep(spark)
+    assert _rollup_dict(consumer.rollup(spark)) == _live_dict(sink, spark)
+    rolled = sink.restore(spark, "roll", 3)  # back to post-merge state
+    assert rolled is not None
+    consumer.sweep(spark)
+    assert _rollup_dict(consumer.rollup(spark)) == _live_dict(sink, spark)
+    # optimize-only window: no row-level change, cursor advances anyway
+    assert sink.optimize(spark, target_file_bytes=1 << 30) > 0
+    res = consumer.sweep(spark)
+    assert res["published"] is False and res["to"] > res["from"]
+    assert consumer.sweep(spark)["published"] is False  # and stays idle
+    assert _rollup_dict(consumer.rollup(spark)) == _live_dict(sink, spark)
+    # a SECOND consumer catching up in one sweep lands on the same view
+    other = ChangeFeedConsumer(
+        sink, os.path.join(BASE, "feedc_state2"), ["lang"]
+    )
+    other.sweep(spark)
+    assert _rollup_dict(other.rollup(spark)) == _rollup_dict(
+        consumer.rollup(spark)
+    )
+    # exactly one published state dir remains (superseded ones pruned)
+    dirs = [
+        d
+        for d in os.listdir(os.path.join(BASE, "feedc_state"))
+        if d.startswith("state-")
+    ]
+    assert len(dirs) == 1
+
+
+def test_change_feed_consumer_crash_before_flip_refolds_same_window(spark):
+    """Exactly-once per commit window: a crash AFTER the new state dir
+    lands but BEFORE the pointer flips leaves the cursor on the old
+    base, so the retry re-folds the SAME window onto the SAME base —
+    no double-apply, no gap."""
+    from gobulk_spark import fsutil
+    from gobulk_spark.txlog import ChangeFeedConsumer
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    sink = TxLogKeptSink(os.path.join(BASE, "feedcrash"))
+    state_dir = os.path.join(BASE, "feedcrash_state")
+    consumer = ChangeFeedConsumer(sink, state_dir, ["lang"])
+    ddl = "image_id string, lang string, v int"
+    sink.write(spark.createDataFrame([("a", "x", 1)], ddl), "r1")
+    consumer.sweep(spark)
+    sink.write(spark.createDataFrame([("b", "y", 2)], ddl), "r2")
+    orig = fsutil.Fs.write_text_atomic
+
+    def crash(self, path, text):
+        if path.endswith("_current.json"):
+            raise OSError("simulated crash before pointer flip")
+        return orig(self, path, text)
+
+    fsutil.Fs.write_text_atomic = crash
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            consumer.sweep(spark)
+    finally:
+        fsutil.Fs.write_text_atomic = orig
+    # pointer still on the old window; the orphan state dir is inert
+    assert _rollup_dict(consumer.rollup(spark)) == {"x": 1}
+    res = consumer.sweep(spark)  # retry re-folds (1, 2] onto v1's base
+    assert res["published"] is True
+    assert _rollup_dict(consumer.rollup(spark)) == {"x": 1, "y": 1}
+    dirs = [d for d in os.listdir(state_dir) if d.startswith("state-")]
+    assert len(dirs) == 1
+
+
 def test_delete_where_coerces_literal_to_column_type(spark):
     """The CLI auto-types literals by spelling, so 'image_id=42'
     arrives as int 42 against a string column — the schema is the
