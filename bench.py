@@ -420,16 +420,40 @@ def main() -> None:
         ok = [t for t in trials if "error" not in t]
         if ok:
             best = dict(ok[0])
-            # per-metric minima: noise hits compute and e2e
-            # independently (a commit stall vs a task stall)
-            for metric in ("compute_s", "e2e_s"):
+            # per-metric minima under the LEG JSON's real keys (the
+            # first best-of-2 cut compared nonexistent compute_s/e2e_s
+            # and silently kept trial 0 — the exact one-noise-event
+            # failure mode this loop exists to absorb): noise hits
+            # compute and e2e independently (a task stall vs a commit
+            # stall), so each metric takes its own min
+            for metric in (
+                "compute_wall_s_min",
+                "end_to_end_wall_s",
+                "fused_wall_s",
+            ):
                 vals = [t[metric] for t in ok if metric in t]
                 if vals:
                     best[metric] = min(vals)
+            # derived throughputs must describe the kept minima, not
+            # whichever trial seeded the dict
+            rows = best.get("rows")
+            if rows:
+                if best.get("end_to_end_wall_s"):
+                    best["end_to_end_images_per_sec"] = round(
+                        rows / best["end_to_end_wall_s"], 1
+                    )
+                if best.get("fused_wall_s"):
+                    best["fused_images_per_sec"] = round(
+                        rows / best["fused_wall_s"], 1
+                    )
+                if best.get("compute_wall_s_min"):
+                    best["compute_images_per_sec"] = round(
+                        rows / best["compute_wall_s_min"], 1
+                    )
         else:
             best = trials[-1]
-        best["e2e_samples"] = [t.get("e2e_s") for t in trials]
-        best["compute_samples"] = [t.get("compute_s") for t in trials]
+        best["e2e_samples"] = [t.get("end_to_end_wall_s") for t in trials]
+        best["compute_samples"] = [t.get("compute_wall_s_min") for t in trials]
         legs[master] = best
 
     # incremental-economics leg: own subprocess on the full box
