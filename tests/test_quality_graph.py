@@ -206,6 +206,50 @@ def test_temperature_sample_alpha1_uniform_rate(spark):
     assert len(set(rates.values())) == 1
 
 
+from hypothesis import given, settings as hyp_settings
+from hypothesis import strategies as st
+
+
+@hyp_settings(max_examples=8, deadline=None)
+@given(
+    hist=st.lists(
+        st.integers(min_value=1, max_value=60), min_size=1, max_size=5
+    ),
+    frac=st.integers(min_value=0, max_value=120),
+)
+def test_temperature_sample_matches_model_on_random_histograms(
+    spark, hist, frac
+):
+    """Property: for ANY stratum histogram and target, the kept set
+    equals the independent pure-python water-filling + md5 gate model
+    (level choice, rate quantization, and membership all exact)."""
+    rows = [
+        (s * 1000 + i, f"l{s}") for s, n in enumerate(hist) for i in range(n)
+    ]
+    target = sum(hist) * frac // 100
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in temperature_sample(
+            df, "doc_id", "lang", target_total=target
+        ).collect()
+    }
+    expected, rates = _temperature_expected(rows, target)
+    assert got == expected
+    # never keep more than the target allows (the level is the MAX
+    # valid one, so kept <= target by construction at alpha=0)
+    if target < sum(hist):
+        by_lang = {}
+        for _, lang in expected:
+            by_lang[lang] = by_lang.get(lang, 0) + 1
+        # each downsampled stratum's EXPECTED kept count is the level;
+        # the md5 gate quantizes to 256 buckets so the realized count
+        # varies, but a fully-kept stratum is exact
+        for s, n in enumerate(hist):
+            if rates[f"l{s}"] == 256:
+                assert by_lang.get(f"l{s}", 0) == n
+
+
 def test_temperature_sample_filter_is_broadcast(spark):
     df = spark.createDataFrame(
         [(i, "en" if i % 2 else "de") for i in range(200)],
