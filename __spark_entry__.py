@@ -1209,15 +1209,18 @@ def q_txlog_change_feed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The result must equal DuckDB aggregating the surviving rows
     directly — the downstream never rescanned the table, yet lands on
     the same answer."""
-    import shutil as _shutil
+    import uuid as _uuid
 
     from gobulk_spark.txlog import ChangeFeedConsumer
 
     sink = _ensure_txlog_events_store(spark, sf_dir)
+    # a FRESH state dir per call (never rmtree a shared path: the
+    # previous call's returned DataFrame lazily reads its state files,
+    # and sf dirs must not collide); /tmp junk is bounded by the app
     state = (
         f"/tmp/gobulk_txlog_feed_state/{spark.sparkContext.applicationId}"
+        f"/{_uuid.uuid4().hex[:8]}"
     )
-    _shutil.rmtree(state, ignore_errors=True)  # fresh consumer per call
     consumer = ChangeFeedConsumer(sink, state, ["event_type"])
     last = sink.history(spark)[-1]["version"]
     for v in range(1, last + 1):

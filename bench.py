@@ -428,14 +428,18 @@ def main() -> None:
             # stall), so each metric takes its own min
             for metric in (
                 "compute_wall_s_min",
+                "compute_wall_s_median",
                 "end_to_end_wall_s",
                 "fused_wall_s",
             ):
                 vals = [t[metric] for t in ok if metric in t]
                 if vals:
                     best[metric] = min(vals)
-            # derived throughputs must describe the kept minima, not
-            # whichever trial seeded the dict
+            # derived throughputs keep their PER-TRIAL definitions
+            # (e2e/fused: store rows / wall; compute: source rows /
+            # median). The source count is not in the leg JSON, so the
+            # merged compute rate is the best trial's own figure —
+            # numerically identical to numerator / min-median
             rows = best.get("rows")
             if rows:
                 if best.get("end_to_end_wall_s"):
@@ -446,10 +450,13 @@ def main() -> None:
                     best["fused_images_per_sec"] = round(
                         rows / best["fused_wall_s"], 1
                     )
-                if best.get("compute_wall_s_min"):
-                    best["compute_images_per_sec"] = round(
-                        rows / best["compute_wall_s_min"], 1
-                    )
+            cips = [
+                t["compute_images_per_sec"]
+                for t in ok
+                if "compute_images_per_sec" in t
+            ]
+            if cips:
+                best["compute_images_per_sec"] = max(cips)
         else:
             best = trials[-1]
         best["e2e_samples"] = [t.get("end_to_end_wall_s") for t in trials]

@@ -279,7 +279,13 @@ class ChangeFeedConsumer:
     key-join against the running rollup — never a table rescan. The
     cadence contract is the feed's: sweep inside the store's vacuum
     retention window or the feed (like time travel) ends where the
-    reclaimed files begin."""
+    reclaimed files begin.
+
+    One consumer per ``state_dir`` — the same contract as a Structured
+    Streaming checkpointLocation (two sweepers would race the pointer
+    flip and prune each other's publications). Pruning keeps the
+    previous publication alongside the current one, so a ``rollup()``
+    DataFrame handed out before a sweep survives that sweep."""
 
     def __init__(
         self, sink: "TxLogKeptSink", state_dir: str, keys: list[str]
@@ -293,20 +299,35 @@ class ChangeFeedConsumer:
         return Fs(spark, self.state_dir)
 
     def _load_pointer(self, fs: Fs) -> dict | None:
+        """IO errors PROPAGATE — silently treating a transient read
+        failure as 'no checkpoint' would reset the cursor to 0 and
+        re-fold the whole history (or wedge on vacuumed early
+        versions). Only a genuinely corrupt pointer raises a typed
+        error instead of masquerading as a fresh consumer."""
         if not fs.exists(self.pointer):
             return None
+        text = fs.read_text(self.pointer)
         try:
-            return json.loads(fs.read_text(self.pointer))
-        except Exception:
-            return None
+            return json.loads(text)
+        except ValueError as e:
+            raise ValueError(
+                f"corrupt consumer pointer {self.pointer}: {text[:200]!r}"
+            ) from e
 
     def _read_state(self, spark: SparkSession, cur: dict) -> DataFrame | None:
         if not cur.get("dir"):
             return None
+        from pyspark.sql.types import StructType
+
         # explicit schema from the pointer: an all-groups-cancelled
         # rollup is an EMPTY parquet dir (Spark writes no part files),
-        # unreadable by footer inference but fine with a declared schema
-        return spark.read.schema(cur["schema"]).parquet(
+        # unreadable by footer inference but fine with a declared
+        # schema. Stored as StructType JSON, not a DDL string — a key
+        # column named 'event-type' would brick a DDL parse
+        schema = cur["schema"]
+        if isinstance(schema, dict):
+            schema = StructType.fromJson(schema)
+        return spark.read.schema(schema).parquet(
             lineage._join(self.state_dir, cur["dir"])
         )
 
@@ -327,7 +348,11 @@ class ChangeFeedConsumer:
         fs = self._fs(spark)
         fs.mkdirs(self.state_dir)
         cur = self._load_pointer(fs) or {"version": 0, "dir": None}
-        last = self.sink._state(spark)[2]
+        # latest version from ONE log listing — a full _state replay
+        # here would double the per-sweep log reads (read_changes
+        # replays the suffix anyway)
+        names = self.sink._entry_names(self.sink._fs(spark))
+        last = max((int(n.split(".")[0]) for n in names), default=0)
         if to_version is not None:
             last = min(last, to_version)
         if last <= cur["version"]:
@@ -349,15 +374,24 @@ class ChangeFeedConsumer:
         new.write.mode("overwrite").parquet(
             lineage._join(self.state_dir, new_dir)
         )
-        schema_ddl = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in new.schema.fields
-        )
         fs.write_text_atomic(
             self.pointer,
-            json.dumps({"version": last, "dir": new_dir, "schema": schema_ddl}),
+            json.dumps(
+                {
+                    "version": last,
+                    "dir": new_dir,
+                    "schema": json.loads(new.schema.json()),
+                }
+            ),
         )
+        # prune all but the new publication and its immediate
+        # predecessor: a rollup() DataFrame handed out before this
+        # sweep still reads (its file index points at the predecessor
+        # dir), the one before that is gone — the same one-generation
+        # grace a streaming state store gives its readers
+        keep = {new_dir, cur.get("dir")}
         for d in fs.listdir(self.state_dir):
-            if d.startswith("state-") and d != new_dir:
+            if d.startswith("state-") and d not in keep:
                 fs.delete(lineage._join(self.state_dir, d))
         return {"from": cur["version"], "to": last, "published": True}
 

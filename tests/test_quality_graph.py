@@ -240,7 +240,7 @@ def test_temperature_sample_matches_model_on_random_histograms(
     # valid one, so kept <= target by construction at alpha=0)
     if target < sum(hist):
         by_lang = {}
-        for _, lang in expected:
+        for _, lang in got:  # count the ENGINE's output, not the model's
             by_lang[lang] = by_lang.get(lang, 0) + 1
         # each downsampled stratum's EXPECTED kept count is the level;
         # the md5 gate quantizes to 256 buckets so the realized count

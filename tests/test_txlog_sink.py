@@ -1881,13 +1881,20 @@ def test_change_feed_consumer_checkpointed_sweeps(spark):
     assert _rollup_dict(other.rollup(spark)) == _rollup_dict(
         consumer.rollup(spark)
     )
-    # exactly one published state dir remains (superseded ones pruned)
+    # a rollup() frame handed out BEFORE a sweep survives that sweep
+    # (pruning keeps the previous publication), and pruning bounds the
+    # state dirs at current + predecessor
+    held = consumer.rollup(spark)
+    pre = _rollup_dict(held)
+    sink.write(spark.createDataFrame([("f", "w", 6)], ddl), "r9")
+    assert consumer.sweep(spark)["published"] is True
+    assert _rollup_dict(held) == pre  # still readable, still pre-sweep
     dirs = [
         d
         for d in os.listdir(os.path.join(BASE, "feedc_state"))
         if d.startswith("state-")
     ]
-    assert len(dirs) == 1
+    assert 1 <= len(dirs) <= 2
 
 
 def test_change_feed_consumer_crash_before_flip_refolds_same_window(spark):
@@ -1925,7 +1932,7 @@ def test_change_feed_consumer_crash_before_flip_refolds_same_window(spark):
     assert res["published"] is True
     assert _rollup_dict(consumer.rollup(spark)) == {"x": 1, "y": 1}
     dirs = [d for d in os.listdir(state_dir) if d.startswith("state-")]
-    assert len(dirs) == 1
+    assert 1 <= len(dirs) <= 2  # current publication + predecessor
 
 
 def test_delete_where_coerces_literal_to_column_type(spark):
