@@ -743,6 +743,7 @@ def q_ann_store_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gobulk_spark.operators.similarity import (
         ivf_ann,
         ivf_ann_pruned,
+        ivf_append,
         lsh_ann_pruned,
         lsh_bucket_ann,
         write_ivf_partitioned,
@@ -763,7 +764,15 @@ def q_ann_store_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{spark.sparkContext.applicationId}"
     )
     ivf_path, lsh_path = f"{root}/ivf", f"{root}/lsh"
-    cents = write_ivf_partitioned(base, ivf_path, dim, n_cells=16, seed=7)
+    # resident/appended split of the SAME table: the store is built
+    # from 90% of the vectors, the rest arrive later via ivf_append
+    # (incremental index maintenance — no rebuild), and the pruned
+    # query must equal the in-memory operator over the FULL set
+    resident = base.where(F.col("vec_id") % 10 != 0)
+    arriving = base.where(F.col("vec_id") % 10 == 0)
+    cents = write_ivf_partitioned(resident, ivf_path, dim, n_cells=16, seed=7)
+    append_report = ivf_append(arriving, ivf_path, cents)
+    append_routed_all = append_report["appended"] == arriving.count()
     pruned = ivf_ann_pruned(spark, ivf_path, q, cents, k=10, n_probe=4)
     mem = ivf_ann(
         base, q, dim=dim, k=10, n_cells=16, n_probe=4, centroids=cents
@@ -783,6 +792,7 @@ def q_ann_store_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("ivf_store_equals_memory", bool(ivf_equal)),
             ("ivf_store_partition_pruned", bool(ivf_pruned_ok)),
+            ("ivf_append_routes_all", bool(append_routed_all)),
             ("lsh_store_equals_memory", bool(lsh_equal)),
             ("lsh_store_partition_pruned", bool(lsh_pruned_ok)),
         ],
@@ -1891,6 +1901,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_store_gates": """
             SELECT 'ivf_store_equals_memory' AS gate, TRUE AS ok
             UNION ALL SELECT 'ivf_store_partition_pruned', TRUE
+            UNION ALL SELECT 'ivf_append_routes_all', TRUE
             UNION ALL SELECT 'lsh_store_equals_memory', TRUE
             UNION ALL SELECT 'lsh_store_partition_pruned', TRUE
         """,

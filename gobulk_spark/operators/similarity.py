@@ -888,6 +888,91 @@ def ivf_ann_pruned(
     )
 
 
+def ivf_append(
+    emb: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+) -> dict:
+    """Incremental maintenance of a ``write_ivf_partitioned`` store:
+    route NEW vectors to their nearest existing centroid and APPEND
+    their files into the matching ``ivf_cell=`` directories — no
+    rebuild, no rewrite of resident data; queries over the store see
+    the union immediately and partition pruning is untouched (the
+    appended files land inside the pruned layout). At 10^9+ vectors
+    this is how the at-rest index absorbs a growing corpus: O(batch)
+    work per batch, with a full re-train + rewrite only when drift
+    says the trained centroids went stale.
+
+    Returns ``{"appended", "cell_histogram", "mean_margin",
+    "hot_cell_share"}``. ``mean_margin`` is the mean cosine gap
+    between the best and second-best centroid over the new batch —
+    vectors sitting ON cell boundaries are the ones a fixed
+    ``n_probe`` starts missing; ``hot_cell_share`` is the largest
+    cell's share of the batch — a batch crowding one cell has outgrown
+    the partitioning. A falling margin or a hot cell is the re-train
+    signal (FAISS's re-train-when-distribution-shifts guidance,
+    expressed as two numbers the caller can threshold).
+
+    One routing pass (pinned: the stats aggregate and the append write
+    both consume it), one driver collect of n_cells longs.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf("cell int, margin double")
+    def _route(vecs: pd.Series) -> pd.DataFrame:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        # cell by the UN-normalized-centroid argmax (must agree with
+        # with_ivf_cell's routing, or probe selection and storage
+        # disagree); margin by normalized cosine gap (interpretable)
+        raw = m @ cents.T
+        cell = np.argmax(raw, axis=1).astype(np.int32)
+        cos = m @ cn.T
+        if cos.shape[1] > 1:
+            top2 = -np.partition(-cos, 1, axis=1)[:, :2]
+            margin = top2[:, 0] - top2[:, 1]
+        else:
+            margin = np.ones(len(m))
+        return pd.DataFrame({"cell": cell, "margin": margin})
+
+    from .dedup import pin
+
+    routed = pin(
+        emb.withColumn("_r", _route(F.col("embedding"))).select(
+            *emb.columns,
+            F.col("_r.cell").alias("ivf_cell"),
+            F.col("_r.margin").alias("_margin"),
+        )
+    )
+    stats = routed.groupBy("ivf_cell").agg(
+        F.count("*").alias("n"), F.sum("_margin").alias("sm")
+    ).collect()
+    hist = {int(r["ivf_cell"]): int(r["n"]) for r in stats}
+    total = sum(hist.values())
+    if not total:
+        return {
+            "appended": 0,
+            "cell_histogram": {},
+            "mean_margin": 0.0,
+            "hot_cell_share": 0.0,
+        }
+    routed.drop("_margin").write.mode("append").partitionBy(
+        "ivf_cell"
+    ).parquet(path)
+    return {
+        "appended": total,
+        "cell_histogram": hist,
+        "mean_margin": round(
+            float(sum(r["sm"] for r in stats)) / total, 6
+        ),
+        "hot_cell_share": round(max(hist.values()) / total, 6),
+    }
+
+
 def write_lsh_partitioned(
     emb: DataFrame,
     path: str,

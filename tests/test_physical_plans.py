@@ -156,6 +156,81 @@ def test_ivf_partitioned_store_prunes_unprobed_cells(spark, tmp_path):
         assert "ivf_cell" not in df_filter.group(1)
 
 
+def test_ivf_append_maintains_store_without_rebuild(spark, tmp_path):
+    """Incremental index maintenance: appending a batch routes each new
+    vector to its trained cell and lands files INSIDE the partitioned
+    layout — a pruned query over the store equals the in-memory
+    operator over the UNION with the same centroids, resident files are
+    untouched, and the drift metrics flag a crowding batch."""
+    import os
+
+    import numpy as np
+
+    from gobulk_spark.operators.similarity import (
+        ivf_ann,
+        ivf_ann_pruned,
+        ivf_append,
+        write_ivf_partitioned,
+    )
+
+    rng = np.random.default_rng(13)
+    dim, n = 16, 300
+    rows = [
+        (i, rng.standard_normal(dim).astype("float32").tolist())
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf_store")
+    cents = write_ivf_partitioned(emb, path, dim, n_cells=8, seed=7)
+
+    def _files():
+        out = set()
+        for d in os.listdir(path):
+            if d.startswith("ivf_cell="):
+                for f in os.listdir(os.path.join(path, d)):
+                    if f.endswith(".parquet"):
+                        out.add(f"{d}/{f}")
+        return out
+
+    before = _files()
+    new_rows = [
+        (1000 + i, rng.standard_normal(dim).astype("float32").tolist())
+        for i in range(60)
+    ]
+    new = spark.createDataFrame(
+        new_rows, "vec_id long, embedding array<float>"
+    )
+    res = ivf_append(new, path, cents)
+    assert res["appended"] == 60
+    assert sum(res["cell_histogram"].values()) == 60
+    # resident files untouched; new files landed inside cell dirs
+    after = _files()
+    assert before <= after and len(after) > len(before)
+    # a pruned query over the grown store == in-memory over the union
+    q = new_rows[0][1]
+    pruned = ivf_ann_pruned(spark, path, q, cents, k=5, n_probe=8)
+    union = emb.unionByName(new)
+    mem = ivf_ann(
+        union, q, dim=dim, k=5, n_cells=8, n_probe=8, centroids=cents
+    ).collect()
+    assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in mem]
+    # drift metrics: a batch of copies of ONE centroid direction crowds
+    # one cell with a wide margin
+    crowd = spark.createDataFrame(
+        [
+            (2000 + i, (cents[3] / np.linalg.norm(cents[3])).tolist())
+            for i in range(20)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    res2 = ivf_append(crowd, path, cents)
+    assert res2["hot_cell_share"] == 1.0
+    assert res2["mean_margin"] > res["mean_margin"]
+    # empty batch: nothing written, zeroed report
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ivf_append(empty, path, cents)["appended"] == 0
+
+
 def test_lsh_partitioned_store_prunes_to_one_bucket(spark, tmp_path):
     """The LSH at-rest layout: the query's bucket is a directory-level
     partition filter and results equal the in-memory single-bucket
