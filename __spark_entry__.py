@@ -1325,6 +1325,44 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_deterministic_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hash_split + stratified_sample fused into one oracle-checked
+    entry (round 5: frees a driver-window slot for the NB classifier
+    gate; both operators keep their standalone tests and bench legs).
+    Shape: (family, doc_id, tag) where tag is the split name or the
+    sampled stratum."""
+    a = q_hash_split(spark, sf_dir).select(
+        F.lit("hash_split").alias("family"),
+        "doc_id",
+        F.col("split").alias("tag"),
+    )
+    b = q_stratified_sample(spark, sf_dir).select(
+        F.lit("stratified").alias("family"),
+        "doc_id",
+        F.col("lang").alias("tag"),
+    )
+    return a.unionByName(b)
+
+
+def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-labeled quality-classifier distillation (FineWeb / DCLM
+    recipe, engine-native): a hashed-token naive-Bayes scorer trained
+    on the doc_id%3==0 third of the corpus (seed label: lang='en')
+    with pure aggregations — 256 md5-bucket class counts, Laplace
+    log-likelihood ratios in integer micro-units, smoothed doc-count
+    prior — then applied to the held-out rest as a broadcast join +
+    exact BIGINT sum. The oracle re-derives every score to the
+    integer (same ln/round discipline as DSIR)."""
+    from gobulk_spark.operators.quality import nb_token_classifier
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 3 == 0).withColumn(
+        "_y", F.col("lang") == "en"
+    )
+    rest = d.where(F.col("doc_id") % 3 != 0)
+    return nb_token_classifier(train, rest, "doc_id", "text", "_y")
+
+
 def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based domain-mixture resampling (XLM-R alpha-
     sampling) at alpha=0 / target 80% of the corpus: the integer
@@ -1505,8 +1543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup_rewrite": q_segment_dedup_rewrite,
         "sequence_packing": q_sequence_packing,
         "contamination_check": q_contamination_check,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
+        # round-5 fusion: both samplers in one entry (standalone tests
+        # + bench legs remain) — frees a slot for the NB classifier
+        "deterministic_samplers": q_deterministic_samplers,
         "dedup_clusters": q_dedup_clusters,
         "near_dup_survivors": q_near_dup_survivors,
         "dsir_importance_weights": q_dsir_importance_weights,
@@ -1535,6 +1574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling): integer water-filling level, md5-bucket-quantized
         # rates, exact closed-form re-derivation in the oracle
         "domain_mixture_sample": q_domain_mixture_sample,
+        # seed-labeled NB classifier distillation, exact to the integer
+        "nb_quality_classifier": q_nb_quality_classifier,
         # rows-only tail (vectorized Arrow UDF / seeded-RNG operators) —
         # MUST stay last: everything above is oracle-checked and the
         # driver records exactly the first 50 entries
@@ -2067,19 +2108,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
             FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id
         """,
-        "hash_split": """
-            SELECT doc_id,
+        "deterministic_samplers": """
+            SELECT 'hash_split' AS family, doc_id,
                    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
                         THEN 'train'
                         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
                         THEN 'val'
-                        ELSE 'test' END AS split
+                        ELSE 'test' END AS tag
             FROM documents
-        """,
-        "stratified_sample": """
-            SELECT doc_id, lang FROM documents
+            UNION ALL
+            SELECT 'stratified', doc_id, lang FROM documents
             WHERE substring(md5(CAST(doc_id AS VARCHAR) || '|' || lang), 1, 2) <
                   CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40' ELSE '19' END
+        """,
+        # NB classifier, exact: per-bucket class counts over the
+        # doc_id%3=0 seed, Laplace LLRs rounded to BIGINT micro-units
+        # BEFORE summation (the DSIR discipline), smoothed doc prior,
+        # unseen buckets take the shared smoothed default
+        "nb_quality_classifier": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       substr(md5(unnest(string_split_regex(trim(text), ' +'))), 1, 2) AS b
+                FROM documents
+            ),
+            cnt AS (
+                SELECT b,
+                       SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct1,
+                       SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS ct0
+                FROM toks WHERE doc_id % 3 = 0 GROUP BY b
+            ),
+            tot AS (SELECT CAST(SUM(ct1) AS BIGINT) AS n1,
+                           CAST(SUM(ct0) AS BIGINT) AS n0 FROM cnt),
+            llr AS (
+                SELECT b, CAST(round((
+                           ln((ct1 + 1.0) / (n1 + 256.0))
+                         - ln((ct0 + 1.0) / (n0 + 256.0))) * 1000000, 0)
+                       AS BIGINT) AS w
+                FROM cnt, tot
+            ),
+            dflt AS (
+                SELECT CAST(round((
+                           ln(1.0 / (n1 + 256.0))
+                         - ln(1.0 / (n0 + 256.0))) * 1000000, 0)
+                       AS BIGINT) AS w FROM tot
+            ),
+            prior AS (
+                SELECT CAST(round((
+                           ln((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1.0)
+                              / (COUNT(*) + 2.0))
+                         - ln((SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) + 1.0)
+                              / (COUNT(*) + 2.0))) * 1000000, 0)
+                       AS BIGINT) AS p
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            perdoc AS (
+                SELECT doc_id, b, COUNT(*) AS n_db FROM toks
+                WHERE doc_id % 3 <> 0 GROUP BY doc_id, b
+            ),
+            scored AS (
+                SELECT p.doc_id,
+                       CAST(SUM(n_db) AS BIGINT) AS n_tokens,
+                       CAST(SUM(n_db * COALESCE(llr.w, dflt.w))
+                            + ANY_VALUE(prior.p) AS BIGINT) AS score_micro
+                FROM perdoc p
+                LEFT JOIN llr ON llr.b = p.b, dflt, prior
+                GROUP BY p.doc_id
+            )
+            SELECT doc_id, n_tokens, score_micro,
+                   score_micro > 0 AS keep
+            FROM scored
         """,
         # temperature_sample at alpha=0: the operator's binary-searched
         # water-filling level re-derived closed-form — sorted histogram,

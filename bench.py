@@ -77,6 +77,7 @@ HEADLINE = (
     # operator-throughput leg, not an sf-scaled one)
     "phash_near_dup_images",
     "domain_mixture_sample",
+    "nb_quality_classifier",
 )
 
 # (master, taskset cpu list) — 2N CPUs per N-task leg, see module doc
@@ -233,6 +234,10 @@ def time_queries(
     # record them by these names)
     qs["asof_join_purchase_view"] = entrymod.q_asof_join_purchase_view
     qs["asof_join_salted_view"] = entrymod.q_asof_join_salted_view
+    # round-5 fused the two deterministic samplers into one entry; the
+    # bench keeps the standalone legs (BENCH_r03/r04 record them)
+    qs["hash_split"] = entrymod.q_hash_split
+    qs["stratified_sample"] = entrymod.q_stratified_sample
     # untimed warm-up: spin up the Python worker pool (reused across
     # queries), import the package + fit the lazy model singletons in
     # every worker, and JIT the scan path — so per-query timings measure

@@ -548,3 +548,116 @@ def dsir_importance_weights(
         )
         .select(id_col, "n_grams", "weight_micro")
     )
+
+
+def nb_token_classifier(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    shingle_n: int = 1,
+    alpha: float = 1.0,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Seed-labeled quality-classifier distillation (the fastText-
+    classifier recipe of FineWeb / DCLM, expressed engine-native):
+    train a hashed-token naive-Bayes log-linear scorer on a LABELED
+    seed frame with pure aggregations — per-class token-bucket counts
+    over the 256 md5-prefix buckets, Laplace-smoothed log-likelihood
+    ratios rounded to integer MICRO-units, class prior from smoothed
+    doc counts — then score any frame with one broadcast join and an
+    integer sum. ``label_col`` is a boolean column on ``train``
+    (True = positive / keep-worthy seed).
+
+    Same exactness discipline as dsir_importance_weights: per-bucket
+    contributions round to BIGINT micro-units BEFORE summation, so
+    document scores are exact integer sums — invariant to partitioning
+    and float-addition order, re-derivable to the integer by a SQL
+    oracle. Buckets unseen in training score the shared smoothed
+    default, so out-of-vocabulary text degrades gracefully instead of
+    silently dropping terms.
+
+    Output: (id, n_tokens, score_micro, keep) for every SCORE row with
+    at least one token; ``score_micro`` includes the prior and
+    ``keep = score_micro > 0`` (the Bayes decision).
+
+    Scale shape: the trained model collapses to a 256-row broadcast
+    plus two driver longs (prior, default); training shuffles
+    (bucket, class) pairs only; scoring shuffles (id, bucket) pairs
+    with map-side combine — the text itself never crosses an exchange.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    import math
+
+    from .dedup import pin
+
+    n_buckets = 256
+
+    t_occ = train.select(
+        F.col(id_col),
+        F.col(label_col).alias("_y"),
+        F.explode(_ngram_occurrences(F.col(text_col), shingle_n)).alias("_g"),
+    ).select("_y", F.substring(F.md5("_g"), 1, 2).alias("_b"))
+    cnt = pin(
+        t_occ.groupBy("_b").agg(
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("ct1"),
+            F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("ct0"),
+        )
+    )
+    tot = cnt.agg(F.sum("ct1"), F.sum("ct0")).first()
+    n1, n0 = int(tot[0] or 0), int(tot[1] or 0)
+    docs = train.agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)),
+        F.count("*"),
+    ).first()
+    d1, dn = int(docs[0] or 0), int(docs[1] or 0)
+    prior = round(
+        (math.log((d1 + 1.0) / (dn + 2.0)) - math.log((dn - d1 + 1.0) / (dn + 2.0)))
+        * micro
+    )
+    default_w = round(
+        (
+            math.log(alpha / (n1 + alpha * n_buckets))
+            - math.log(alpha / (n0 + alpha * n_buckets))
+        )
+        * micro
+    )
+    llr = F.round(
+        (
+            F.log((F.col("ct1") + F.lit(alpha)) / F.lit(n1 + alpha * n_buckets))
+            - F.log((F.col("ct0") + F.lit(alpha)) / F.lit(n0 + alpha * n_buckets))
+        )
+        * micro,
+        0,
+    ).cast("long")
+    w_table = cnt.select("_b", llr.alias("_w"))
+    s_occ = score.select(
+        F.col(id_col),
+        F.explode(_ngram_occurrences(F.col(text_col), shingle_n)).alias("_g"),
+    ).select(id_col, F.substring(F.md5("_g"), 1, 2).alias("_b"))
+    out = (
+        s_occ.groupBy(id_col, "_b")
+        .agg(F.count("*").alias("_n_db"))
+        .join(F.broadcast(w_table), "_b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n_db").cast("long").alias("n_tokens"),
+            (
+                F.sum(
+                    F.col("_n_db")
+                    * F.coalesce(F.col("_w"), F.lit(default_w))
+                )
+                + F.lit(prior)
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "score_micro",
+        (F.col("score_micro") > 0).alias("keep"),
+    )

@@ -206,6 +206,47 @@ def test_temperature_sample_alpha1_uniform_rate(spark):
     assert len(set(rates.values())) == 1
 
 
+def test_nb_token_classifier_separates_and_is_partition_invariant(spark):
+    """Seed-labeled NB distillation: on a separable micro-corpus the
+    held-out predictions match the true class; scores are exact BIGINT
+    sums so any repartitioning gives bit-identical output; a token
+    never seen in training scores the shared smoothed default instead
+    of vanishing."""
+    from gobulk_spark.operators.quality import nb_token_classifier
+
+    pos_words = ["clean", "crisp", "useful", "clear"]
+    neg_words = ["spam", "junk", "noise", "trash"]
+    rows = []
+    for i in range(40):
+        w = pos_words if i % 2 == 0 else neg_words
+        rows.append((i, " ".join(w[(i + j) % 4] for j in range(6)), i % 2 == 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    train = df.where(F.col("doc_id") < 30)
+    test = df.where(F.col("doc_id") >= 30)
+    out = nb_token_classifier(train, test, "doc_id", "text", "y")
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 10
+    for i, _, y in rows[30:]:
+        assert got[i]["keep"] == y, (i, got[i])
+        assert got[i]["n_tokens"] == 6
+    # partition invariance: exact same integer scores
+    out2 = {
+        r["doc_id"]: r["score_micro"]
+        for r in nb_token_classifier(
+            train.repartition(7), test.repartition(5), "doc_id", "text", "y"
+        ).collect()
+    }
+    assert out2 == {k: v["score_micro"] for k, v in got.items()}
+    # unseen tokens score the smoothed default, not nothing
+    novel = spark.createDataFrame(
+        [(99, "zzz qqq www")], "doc_id long, text string"
+    )
+    nres = nb_token_classifier(train, novel, "doc_id", "text", "y").collect()
+    assert len(nres) == 1 and nres[0]["n_tokens"] == 3
+    with pytest.raises(ValueError, match="alpha"):
+        nb_token_classifier(train, test, "doc_id", "text", "y", alpha=0)
+
+
 from hypothesis import given, settings as hyp_settings
 from hypothesis import strategies as st
 
