@@ -771,8 +771,17 @@ def q_ann_store_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     resident = base.where(F.col("vec_id") % 10 != 0)
     arriving = base.where(F.col("vec_id") % 10 == 0)
     cents = write_ivf_partitioned(resident, ivf_path, dim, n_cells=16, seed=7)
-    append_report = ivf_append(arriving, ivf_path, cents)
-    append_routed_all = append_report["appended"] == arriving.count()
+    ivf_append(arriving, ivf_path, cents)
+    # self-retrieval through the NARROWEST probe: querying with an
+    # APPENDED vector's own embedding at n_probe=1 must find it — the
+    # probe hits exactly the cell the append should have routed to, so
+    # a mis-routed appended vector fails this even when the wider
+    # equality gate's probes happen to cover the wrong cell
+    arr_row = arriving.orderBy("vec_id").select("vec_id", "embedding").first()
+    self_hits = ivf_ann_pruned(
+        spark, ivf_path, list(arr_row["embedding"]), cents, k=3, n_probe=1
+    ).collect()
+    append_self_found = arr_row["vec_id"] in {r["vec_id"] for r in self_hits}
     pruned = ivf_ann_pruned(spark, ivf_path, q, cents, k=10, n_probe=4)
     mem = ivf_ann(
         base, q, dim=dim, k=10, n_cells=16, n_probe=4, centroids=cents
@@ -792,7 +801,7 @@ def q_ann_store_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("ivf_store_equals_memory", bool(ivf_equal)),
             ("ivf_store_partition_pruned", bool(ivf_pruned_ok)),
-            ("ivf_append_routes_all", bool(append_routed_all)),
+            ("ivf_append_self_retrieval", bool(append_self_found)),
             ("lsh_store_equals_memory", bool(lsh_equal)),
             ("lsh_store_partition_pruned", bool(lsh_pruned_ok)),
         ],
@@ -1942,7 +1951,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_store_gates": """
             SELECT 'ivf_store_equals_memory' AS gate, TRUE AS ok
             UNION ALL SELECT 'ivf_store_partition_pruned', TRUE
-            UNION ALL SELECT 'ivf_append_routes_all', TRUE
+            UNION ALL SELECT 'ivf_append_self_retrieval', TRUE
             UNION ALL SELECT 'lsh_store_equals_memory', TRUE
             UNION ALL SELECT 'lsh_store_partition_pruned', TRUE
         """,

@@ -470,6 +470,30 @@ def pack_sequences(
     )
 
 
+def _bucket_occurrences(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, _b) per n-gram OCCURRENCE, where _b is the first-two-hex
+    md5 bucket — ONE definition of the hashed-bucket contract shared by
+    dsir_importance_weights and nb_token_classifier (their SQL oracles
+    re-derive exactly this; two drifting copies would be a silent
+    oracle split)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(_ngram_occurrences(F.col(text_col), shingle_n)).alias("_g"),
+    ).select(id_col, F.substring(F.md5("_g"), 1, 2).alias("_b"))
+
+
+def _round_half_away(v: float) -> int:
+    """Half-away-from-zero to match Spark F.round and DuckDB round —
+    Python's built-in round() is banker's (half-to-even), a different
+    tie-break that would split an exact-to-the-integer oracle on a .5
+    boundary."""
+    import math as _math
+
+    return int(_math.copysign(_math.floor(abs(v) + 0.5), v))
+
+
 def dsir_importance_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -512,10 +536,7 @@ def dsir_importance_weights(
     n_buckets = 256
 
     def occ(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            F.explode(_ngram_occurrences(F.col(text_col), shingle_n)).alias("_g"),
-        ).select(id_col, F.substring(F.md5("_g"), 1, 2).alias("_b"))
+        return _bucket_occurrences(df, id_col, text_col, shingle_n)
 
     # pinned: three consumers (total count, bucket counts, per-doc agg)
     # would each re-run the n-gram explode; the registry owns release
@@ -595,11 +616,14 @@ def nb_token_classifier(
 
     n_buckets = 256
 
-    t_occ = train.select(
-        F.col(id_col),
-        F.col(label_col).alias("_y"),
-        F.explode(_ngram_occurrences(F.col(text_col), shingle_n)).alias("_g"),
-    ).select("_y", F.substring(F.md5("_g"), 1, 2).alias("_b"))
+    # training needs (label, bucket) — the helper's carried column is
+    # the label here, not the id (counts don't care which doc)
+    t_occ = _bucket_occurrences(
+        train.withColumn("_y_lbl", F.col(label_col)),
+        "_y_lbl",
+        text_col,
+        shingle_n,
+    ).select(F.col("_y_lbl").alias("_y"), "_b")
     cnt = pin(
         t_occ.groupBy("_b").agg(
             F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("ct1"),
@@ -613,11 +637,13 @@ def nb_token_classifier(
         F.count("*"),
     ).first()
     d1, dn = int(docs[0] or 0), int(docs[1] or 0)
-    prior = round(
+    # HALF-AWAY rounding to match F.round and the SQL oracle (Python's
+    # round() is banker's — a .5 tie would split the exactness contract)
+    prior = _round_half_away(
         (math.log((d1 + 1.0) / (dn + 2.0)) - math.log((dn - d1 + 1.0) / (dn + 2.0)))
         * micro
     )
-    default_w = round(
+    default_w = _round_half_away(
         (
             math.log(alpha / (n1 + alpha * n_buckets))
             - math.log(alpha / (n0 + alpha * n_buckets))
@@ -633,10 +659,7 @@ def nb_token_classifier(
         0,
     ).cast("long")
     w_table = cnt.select("_b", llr.alias("_w"))
-    s_occ = score.select(
-        F.col(id_col),
-        F.explode(_ngram_occurrences(F.col(text_col), shingle_n)).alias("_g"),
-    ).select(id_col, F.substring(F.md5("_g"), 1, 2).alias("_b"))
+    s_occ = _bucket_occurrences(score, id_col, text_col, shingle_n)
     out = (
         s_occ.groupBy(id_col, "_b")
         .agg(F.count("*").alias("_n_db"))

@@ -892,7 +892,6 @@ def ivf_append(
     emb: DataFrame,
     path: str,
     centroids: np.ndarray,
-    id_col: str = "vec_id",
 ) -> dict:
     """Incremental maintenance of a ``write_ivf_partitioned`` store:
     route NEW vectors to their nearest existing centroid and APPEND
@@ -925,13 +924,14 @@ def ivf_append(
     @F.pandas_udf("cell int, margin double")
     def _route(vecs: pd.Series) -> pd.DataFrame:
         m = np.stack(vecs.to_numpy()).astype(np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        # cell by the UN-normalized-centroid argmax (must agree with
-        # with_ivf_cell's routing, or probe selection and storage
-        # disagree); margin by normalized cosine gap (interpretable)
-        raw = m @ cents.T
-        cell = np.argmax(raw, axis=1).astype(np.int32)
-        cos = m @ cn.T
+        # cell from the SAME arithmetic as with_ivf_cell (un-normalized
+        # row x raw centroids): argmax is scale-invariant in math but
+        # not in floats — normalizing first could flip a near-tie and
+        # land a vector in a different cell than query-time assignment
+        cell = np.argmax(m @ cents.T, axis=1).astype(np.int32)
+        # margins on normalized cosines (interpretable drift units)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cos = mn @ cn.T
         if cos.shape[1] > 1:
             top2 = -np.partition(-cos, 1, axis=1)[:, :2]
             margin = top2[:, 0] - top2[:, 1]

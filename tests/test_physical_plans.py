@@ -207,13 +207,21 @@ def test_ivf_append_maintains_store_without_rebuild(spark, tmp_path):
     after = _files()
     assert before <= after and len(after) > len(before)
     # a pruned query over the grown store == in-memory over the union
+    # n_probe < n_cells: probing a strict subset makes routing real —
+    # a mis-routed appended vector lands outside the probed dirs and
+    # the equality with the in-memory operator breaks (probe-all would
+    # scan every dir and mask it)
     q = new_rows[0][1]
-    pruned = ivf_ann_pruned(spark, path, q, cents, k=5, n_probe=8)
+    pruned = ivf_ann_pruned(spark, path, q, cents, k=5, n_probe=3)
     union = emb.unionByName(new)
     mem = ivf_ann(
-        union, q, dim=dim, k=5, n_cells=8, n_probe=8, centroids=cents
+        union, q, dim=dim, k=5, n_cells=8, n_probe=3, centroids=cents
     ).collect()
     assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in mem]
+    # self-retrieval at the narrowest probe: the query IS an appended
+    # vector, n_probe=1 probes exactly its argmax cell — it must be there
+    one = ivf_ann_pruned(spark, path, q, cents, k=1, n_probe=1).collect()
+    assert one and one[0]["vec_id"] == new_rows[0][0]
     # drift metrics: a batch of copies of ONE centroid direction crowds
     # one cell with a wide margin
     crowd = spark.createDataFrame(
