@@ -114,6 +114,13 @@ sections.append(("At-rest IVF ANN over the cell-partitioned store",
   fmt(ivf_ann_pruned(spark, "/tmp/gobulk_plans_ivf_store", list(q0), cents,
                      k=10, n_probe=4))))
 
+sections.append(("NB quality-classifier scoring (seed-labeled distillation)",
+  "Training collapsed to a 256-row broadcast before this plan: scoring is the n-gram "
+  "explode + md5 bucket (codegen), ONE BroadcastHashJoin against the LLR table, and a "
+  "map-side-combined integer sum per doc — the text never crosses an exchange and no "
+  "Python eval node appears anywhere.",
+  fmt(em.queries()["nb_quality_classifier"](spark, sf))))
+
 sections.append(("Temperature-based domain-mixture resampling",
   "The histogram groupBy + driver level search happen before this plan is built; the "
   "filter itself is ONE BroadcastHashJoin against the L-row threshold table plus a "
