@@ -1284,6 +1284,29 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_per_doc_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repetition_stats + segment_dedup_stats fused into one
+    oracle-checked entry by a doc_id join (round 5: frees a
+    driver-window slot for duplicate_token_spans; both operators keep
+    their standalone tests and bench legs). Inner join: segment stats
+    cover docs with >= 1 token segment."""
+    a = q_repetition_stats(spark, sf_dir)
+    b = q_segment_dedup(spark, sf_dir)
+    return a.join(b, "doc_id")
+
+
+def q_duplicate_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans (Lee et al. 2021): maximal runs
+    of >= 8 tokens appearing verbatim in another document, via stride-1
+    window hashes + gaps-and-islands merge. The oracle re-derives the
+    same spans from DuckDB list slicing."""
+    from gobulk_spark.operators.quality import duplicate_token_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = duplicate_token_spans(d, "doc_id", "text", k=8)
+    return out.select("doc_id", "span_start", "span_end", "span_tokens")
+
+
 def q_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style removal TRANSFORMATION (not just stats): every segment
     whose corpus document-frequency exceeds 1 is cut from the text,
@@ -1547,8 +1570,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_change_feed_rollup": q_txlog_change_feed_rollup,
         "salted_join_revenue": q_salted_join_revenue,
         "embedding_exact_near_dups": q_embedding_exact_near_dups,
-        "repetition_stats": q_repetition_stats,
-        "segment_dedup": q_segment_dedup,
+        # round-5 fusion: both per-doc stat frames in one entry (doc_id
+        # join) — frees a slot for the Lee-style span detector below
+        "per_doc_curation_stats": q_per_doc_curation_stats,
+        # exact duplicate-substring spans (Lee et al. 2021)
+        "duplicate_token_spans": q_duplicate_token_spans,
         "segment_dedup_rewrite": q_segment_dedup_rewrite,
         "sequence_packing": q_sequence_packing,
         "contamination_check": q_contamination_check,
@@ -1988,7 +2014,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4
         """,
-        "repetition_stats": """
+        "per_doc_curation_stats": """
+            SELECT r.doc_id, r.top_2gram_frac, r.dup_3gram_frac,
+                   g.n_segments, g.n_shared_segments, g.shared_frac
+            FROM (
             WITH toks AS (
                 SELECT doc_id,
                        unnest(string_split_regex(trim(text), ' +')) AS tok,
@@ -2022,8 +2051,8 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(dup_3gram_frac, 0.0) AS dup_3gram_frac
             FROM documents d
             LEFT JOIN top2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
-        """,
-        "segment_dedup": """
+            ) r
+            JOIN (
             WITH toks AS (
                 SELECT doc_id,
                        unnest(string_split_regex(trim(text), ' +')) AS tok,
@@ -2045,7 +2074,38 @@ def oracle_sql() -> dict[str, str]:
                        AS shared_frac
             FROM segs s JOIN dfreq USING (seg_hash)
             GROUP BY s.doc_id
+            ) g USING (doc_id)
         """,
+        # Lee et al. exact duplicate-substring spans: stride-1 8-token
+        # window hashes, cross-doc duplicated windows, gaps-and-islands
+        # merge — positions 1-based inclusive, spans maximal
+        "duplicate_token_spans": """
+            WITH dt AS (
+                SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+                FROM documents
+            ),
+            win AS (
+                SELECT doc_id, i AS pos,
+                       md5(array_to_string(toks[i:i+7], ' ')) AS h
+                FROM dt, unnest(range(1, len(toks) - 6)) AS t(i)
+                WHERE len(toks) >= 8
+            ),
+            dup AS (SELECT h FROM win GROUP BY h
+                    HAVING count(DISTINCT doc_id) > 1),
+            dw AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (h)),
+            isl AS (
+                SELECT doc_id, pos,
+                       pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS g
+                FROM dw
+            )
+            SELECT doc_id,
+                   CAST(MIN(pos) AS INT) AS span_start,
+                   CAST(MAX(pos) + 7 AS INT) AS span_end,
+                   CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
+            FROM isl GROUP BY doc_id, g
+        """,
+        
         "segment_dedup_rewrite": """
             WITH toks AS (
                 SELECT doc_id,

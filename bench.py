@@ -78,6 +78,7 @@ HEADLINE = (
     "phash_near_dup_images",
     "domain_mixture_sample",
     "nb_quality_classifier",
+    "duplicate_token_spans",
 )
 
 # (master, taskset cpu list) — 2N CPUs per N-task leg, see module doc
@@ -238,6 +239,8 @@ def time_queries(
     # bench keeps the standalone legs (BENCH_r03/r04 record them)
     qs["hash_split"] = entrymod.q_hash_split
     qs["stratified_sample"] = entrymod.q_stratified_sample
+    qs["repetition_stats"] = entrymod.q_repetition_stats
+    qs["segment_dedup"] = entrymod.q_segment_dedup
     # untimed warm-up: spin up the Python worker pool (reused across
     # queries), import the package + fit the lazy model singletons in
     # every worker, and JIT the scan path — so per-query timings measure

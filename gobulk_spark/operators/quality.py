@@ -684,3 +684,67 @@ def nb_token_classifier(
         "score_micro",
         (F.col("score_micro") > 0).alias("keep"),
     )
+
+
+def duplicate_token_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Exact duplicate-substring SPANS (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every maximal run of
+    tokens that also appears verbatim in ANOTHER document, found via
+    stride-1 k-token window hashes — the suffix-array result for
+    duplicates of length >= k, re-expressed as dataflow (a distributed
+    suffix array is machinery this gets for free from a groupBy).
+
+    A window (tokens [i, i+k)) is duplicated when its md5 appears in
+    more than one distinct document; consecutive duplicated windows
+    merge into one span (gaps-and-islands), so a shared run of L >= k
+    tokens reports exactly once as [i, i+L). Output: (id, span_start,
+    span_end, span_tokens), token positions 1-based inclusive.
+
+    Scale shape: each document emits one 32-char hash per token
+    (stride 1 — this is the method's cost, and still only hashes ever
+    shuffle, never text); window document-frequency is a map-side-
+    combined groupBy; the island merge is one window function
+    partitioned by document. Downstream removal composes with
+    segment_dedup_rewrite's rebuild: these spans are the positions a
+    Lee-style cut would drop.
+    """
+    toks = tokens(F.col(text_col))
+    n_win = F.size(toks) - F.lit(k - 1)
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — a doc
+    # shorter than k tokens must contribute no windows at all
+    wins = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, F.lit(k)))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    win = df.select(
+        F.col(id_col), F.posexplode(wins).alias("_p0", "_h")
+    ).select(id_col, (F.col("_p0") + 1).alias("_pos"), "_h")
+    dup = (
+        win.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") > 1)
+        .select("_h")
+    )
+    from pyspark.sql import Window as W
+
+    dwin = win.join(dup, "_h").select(id_col, "_pos")
+    grp = F.col("_pos") - F.row_number().over(
+        W.partitionBy(id_col).orderBy("_pos")
+    )
+    return (
+        dwin.withColumn("_g", grp)
+        .groupBy(id_col, "_g")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + F.lit(k - 1)).alias("span_end"),
+            (F.max("_pos") + F.lit(k) - F.min("_pos"))
+            .cast("long")
+            .alias("span_tokens"),
+        )
+        .drop("_g")
+    )

@@ -206,6 +206,45 @@ def test_temperature_sample_alpha1_uniform_rate(spark):
     assert len(set(rates.values())) == 1
 
 
+def test_duplicate_token_spans_hand_computed(spark):
+    """Lee-style exact spans on a crafted corpus: a 10-token run shared
+    across two docs reports once per doc as one MAXIMAL span; a 7-token
+    share (< k=8) reports nothing; within-doc repetition alone reports
+    nothing (cross-doc distinct-doc semantics); short docs are safe."""
+    from gobulk_spark.operators.quality import duplicate_token_spans
+
+    shared10 = " ".join(f"s{i}" for i in range(10))
+    shared7 = " ".join(f"t{i}" for i in range(7))
+    rows = [
+        # doc 1: 3 lead tokens, the shared 10, 2 tail tokens
+        (1, "a b c " + shared10 + " x y"),
+        # doc 2: the shared 10 at the very start, then unique tail
+        (2, shared10 + " p q r"),
+        # docs 3/4 share only 7 tokens: below k, no span
+        (3, "m n " + shared7),
+        (4, shared7 + " u v"),
+        # doc 5: internal repetition only — never cross-doc
+        (5, " ".join(["z1 z2 z3 z4 z5 z6 z7 z8"] * 2)),
+        # doc 6: shorter than k tokens
+        (6, "one two three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id"]): (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_token_spans(df, "doc_id", "text", k=8).collect()
+    }
+    # doc 1: tokens 4..13 (1-based) are the shared run
+    assert out == {1: (4, 13, 10), 2: (1, 10, 10)}
+    # partition invariance
+    out2 = {
+        (r["doc_id"]): (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_token_spans(
+            df.repartition(5), "doc_id", "text", k=8
+        ).collect()
+    }
+    assert out2 == out
+
+
 def test_nb_token_classifier_separates_and_is_partition_invariant(spark):
     """Seed-labeled NB distillation: on a separable micro-corpus the
     held-out predictions match the true class; scores are exact BIGINT
