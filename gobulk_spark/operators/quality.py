@@ -721,9 +721,16 @@ def duplicate_token_spans(
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, F.lit(k)))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    win = df.select(
-        F.col(id_col), F.posexplode(wins).alias("_p0", "_h")
-    ).select(id_col, (F.col("_p0") + 1).alias("_pos"), "_h")
+    from .dedup import pin
+
+    # pinned: the duplicated-hash aggregate AND the join probe both
+    # consume the window frame — unpinned, the tokenize+md5 explode
+    # (the method's dominant cost) runs once per consumer
+    win = pin(
+        df.select(
+            F.col(id_col), F.posexplode(wins).alias("_p0", "_h")
+        ).select(id_col, (F.col("_p0") + 1).alias("_pos"), "_h")
+    )
     dup = (
         win.groupBy("_h")
         .agg(F.countDistinct(id_col).alias("_nd"))
