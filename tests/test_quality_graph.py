@@ -10,6 +10,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from hypothesis import given, settings as hyp_settings
+from hypothesis import strategies as st
 from gobulk_spark.operators.graph import connected_components, dedup_clusters
 from gobulk_spark.operators.quality import (
     contamination_check,
@@ -245,6 +247,61 @@ def test_duplicate_token_spans_hand_computed(spark):
     assert out2 == out
 
 
+def _spans_model(rows, k):
+    """Brute-force reference: every duplicated k-window by dict, then a
+    linear island merge — independent of the engine's dataflow."""
+    from collections import defaultdict
+
+    wins = defaultdict(set)  # window-text -> doc ids
+    per_doc = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        per_doc[doc_id] = toks
+        for i in range(len(toks) - k + 1):
+            wins[" ".join(toks[i : i + k])].add(doc_id)
+    out = set()
+    for doc_id, toks in per_doc.items():
+        dup_pos = sorted(
+            i + 1
+            for i in range(len(toks) - k + 1)
+            if len(wins[" ".join(toks[i : i + k])]) > 1
+        )
+        run = []
+        for p in dup_pos + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                out.add((doc_id, run[0], run[-1] + k - 1, run[-1] + k - run[0]))
+                run = []
+            if p is not None:
+                run.append(p)
+    return out
+
+
+@hyp_settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd".split()), min_size=0, max_size=12
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_duplicate_token_spans_matches_bruteforce_model(spark, docs):
+    """Property: for ANY tiny corpus over a 4-word alphabet (dense with
+    accidental shared runs, boundary-length docs), the engine's spans
+    equal the brute-force dict model exactly."""
+    from gobulk_spark.operators.quality import duplicate_token_spans
+
+    k = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_token_spans(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == _spans_model(rows, k)
+
+
 def test_nb_token_classifier_separates_and_is_partition_invariant(spark):
     """Seed-labeled NB distillation: on a separable micro-corpus the
     held-out predictions match the true class; scores are exact BIGINT
@@ -286,8 +343,6 @@ def test_nb_token_classifier_separates_and_is_partition_invariant(spark):
         nb_token_classifier(train, test, "doc_id", "text", "y", alpha=0)
 
 
-from hypothesis import given, settings as hyp_settings
-from hypothesis import strategies as st
 
 
 @hyp_settings(max_examples=8, deadline=None)
