@@ -114,6 +114,13 @@ sections.append(("At-rest IVF ANN over the cell-partitioned store",
   fmt(ivf_ann_pruned(spark, "/tmp/gobulk_plans_ivf_store", list(q0), cents,
                      k=10, n_probe=4))))
 
+sections.append(("Exact duplicate-substring spans (Lee-style dedup)",
+  "Stride-1 window hashes leave the row as 32-char md5s only (text never shuffles); "
+  "the window frame is pinned (InMemoryTableScan feeds both the duplicated-hash "
+  "aggregate and the join probe), and the island merge is ONE window function "
+  "partitioned by doc_id.",
+  fmt(em.queries()["duplicate_token_spans"](spark, sf))))
+
 sections.append(("NB quality-classifier scoring (seed-labeled distillation)",
   "Training collapsed to a 256-row broadcast before this plan: scoring is the n-gram "
   "explode + md5 bucket (codegen), ONE BroadcastHashJoin against the LLR table, and a "
