@@ -67,7 +67,7 @@ sections.append(("Repetition signals (per-doc, zero-shuffle)",
   "shifted-copy folds (argument position, evaluated once — lambda-internal references "
   "would be re-inlined per element) and the top-gram count is an array_sort + one "
   "aggregate max-run pass.",
-  fmt(em.queries()["repetition_stats"](spark, sf))))
+  fmt(em.q_repetition_stats(spark, sf))))
 
 sections.append(("Benchmark contamination check (broadcast eval side)",
   "The eval set's distinct n-grams build a BroadcastExchange; the training corpus is "
