@@ -690,11 +690,17 @@ def duplicate_token_spans(
     df: DataFrame, id_col: str, text_col: str, k: int = 8
 ) -> DataFrame:
     """Exact duplicate-substring SPANS (Lee et al. 2021, "Deduplicating
-    Training Data Makes Language Models Better"): every maximal run of
-    tokens that also appears verbatim in ANOTHER document, found via
-    stride-1 k-token window hashes — the suffix-array result for
-    duplicates of length >= k, re-expressed as dataflow (a distributed
-    suffix array is machinery this gets for free from a groupBy).
+    Training Data Makes Language Models Better"): maximal runs of
+    tokens in which EVERY k-token window also appears in some other
+    document, found via stride-1 window hashes — the positional
+    duplicated-region result a suffix array gives for duplicates of
+    length >= k, re-expressed as dataflow (the groupBy replaces the
+    suffix-array machinery). Note the semantics precisely: a span is
+    positionally duplicated window by window — overlapping matches
+    against DIFFERENT partner documents stitch into one span, so the
+    full span need not occur verbatim in any single other document
+    (this is Lee et al.'s removal semantics: every k-window of the
+    span is redundant somewhere).
 
     A window (tokens [i, i+k)) is duplicated when its md5 appears in
     more than one distinct document; consecutive duplicated windows
@@ -710,7 +716,14 @@ def duplicate_token_spans(
     segment_dedup_rewrite's rebuild: these spans are the positions a
     Lee-style cut would drop.
     """
-    toks = tokens(F.col(text_col))
+    # the token array MUST be bound to a column before the transform
+    # references it: Catalyst re-inlines (not CSEs) expressions used
+    # inside HOF lambdas, so a raw tokens() reference re-tokenizes the
+    # whole document once PER WINDOW — O(tokens^2) per doc, measured
+    # 4.2x on 1k-token docs and unbounded beyond (the same trap
+    # segment_dedup_rewrite documents and hoists for)
+    with_toks = df.withColumn("_toks", tokens(F.col(text_col)))
+    toks = F.col("_toks")
     n_win = F.size(toks) - F.lit(k - 1)
     # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — a doc
     # shorter than k tokens must contribute no windows at all
@@ -727,7 +740,7 @@ def duplicate_token_spans(
     # consume the window frame — unpinned, the tokenize+md5 explode
     # (the method's dominant cost) runs once per consumer
     win = pin(
-        df.select(
+        with_toks.select(
             F.col(id_col), F.posexplode(wins).alias("_p0", "_h")
         ).select(id_col, (F.col("_p0") + 1).alias("_pos"), "_h")
     )
