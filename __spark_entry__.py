@@ -72,8 +72,15 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Catalyst cannot prune columns through an opaque UDF: project to the
     # two columns the stage reads BEFORE mapInPandas so the parquet scan
-    # (ReadSchema) carries doc_id+text only.
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # (ReadSchema) carries doc_id+text only. spread() the projection
+    # before the opaque stage — the documents table is one parquet row
+    # group, so without it the whole langid+perplexity pass runs in ONE
+    # task (operators/text.spread rationale; round 6).
+    from gobulk_spark.operators.text import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
     feats = docs.mapInPandas(
         stage,
         schema="doc_id long, lang_pred string, lang_conf double, ppl double, "

@@ -31,20 +31,14 @@ from .text import tokens
 from .text import ngram_array as _ngram_occurrences  # multiset, in order
 
 
-def top_ngram_frac(text: Column, n: int) -> Column:
-    """Fraction of n-gram occurrences taken by the single most frequent
-    n-gram (Gopher's "top n-gram fraction"; high = boilerplate loops).
-
-    Pure column expression, still zero-shuffle, but deliberately NOT the
-    obvious count-each-distinct-with-filter nesting: Catalyst inlines
-    (not CSEs) expressions referenced inside higher-order-function
-    lambdas, so filter-inside-transform re-derives the whole n-gram
-    array per element — measured 380 s over 5k 100-token docs. Instead:
-    sort the array once and take the longest equal run in ONE aggregate
-    pass (O(len log len) per row, ~0.5 s on the same corpus).
-    """
-    g = _ngram_occurrences(text, n)
-    s = F.array_sort(g)
+def _top_frac_of_sorted(s: Column) -> Column:
+    """Top-n-gram fraction from a pre-SORTED n-gram array column:
+    longest equal run / total, in ONE aggregate pass (O(len) per row).
+    The sorted-run form is deliberate — NOT the obvious
+    count-each-distinct-with-filter nesting: Catalyst inlines (not
+    CSEs) expressions referenced inside higher-order-function lambdas,
+    so filter-inside-transform re-derives the whole n-gram array per
+    element — measured 380 s over 5k 100-token docs."""
     run = F.aggregate(
         s,
         F.struct(
@@ -63,32 +57,61 @@ def top_ngram_frac(text: Column, n: int) -> Column:
             ).alias("best"),
         ),
     )
-    return F.when(
-        F.size(g) > 0, run["best"] / F.size(g)
-    ).otherwise(F.lit(0.0))
+    return F.when(F.size(s) > 0, run["best"] / F.size(s)).otherwise(F.lit(0.0))
 
 
-def dup_ngram_frac(text: Column, n: int) -> Column:
-    """Fraction of n-gram occurrences that are repeats of an earlier one
-    (Gopher's "duplicate n-gram fraction"): (total - distinct) / total.
-    Zero-shuffle column expression."""
-    g = _ngram_occurrences(text, n)
+def _dup_frac_of(g: Column) -> Column:
+    """Duplicate-n-gram fraction from an n-gram array column:
+    (total - distinct) / total."""
     return F.when(
         F.size(g) > 0,
         (F.size(g) - F.size(F.array_distinct(g))) / F.size(g),
     ).otherwise(F.lit(0.0))
 
 
+def top_ngram_frac(text: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences taken by the single most frequent
+    n-gram (Gopher's "top n-gram fraction"; high = boilerplate loops).
+    Pure column expression (see _top_frac_of_sorted for the run trick);
+    repetition_stats hoists the array to a bound column first — prefer
+    that shape when computing several signals over one document."""
+    return _top_frac_of_sorted(F.array_sort(_ngram_occurrences(text, n)))
+
+
+def dup_ngram_frac(text: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier one
+    (Gopher's "duplicate n-gram fraction"): (total - distinct) / total.
+    Zero-shuffle column expression."""
+    return _dup_frac_of(_ngram_occurrences(text, n))
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str, top_n: int = 2, dup_n: int = 3
 ) -> DataFrame:
-    """Per-document repetition signals — one narrow projection, no
-    shuffle, no UDF. Survives any scale the scan survives."""
-    t = F.col(text_col)
-    return df.select(
+    """Per-document repetition signals — one narrow projection, no UDF.
+
+    Round-6 shape: the two n-gram arrays are HOISTED into bound columns
+    of their own projection before the stats reference them.
+    CollapseProject declines to inline a non-cheap alias consumed more
+    than once (SPARK-36718), so each zip_with n-gram build runs exactly
+    once per row, where the inlined-column form re-evaluated the
+    tokenize+zip_with chain up to 3x per stat (these HOF expressions
+    are CodegenFallback — interpreted, no subexpression elimination).
+    Together with spread() (one parquet row group = one scan task
+    otherwise) this took the sf1.0 leg from 25.2 s to 0.98 s with
+    bit-identical output."""
+    from .text import spread
+
+    d = spread(df, id_col)
+    d = d.withColumn(
+        "_g_top", F.array_sort(_ngram_occurrences(F.col(text_col), top_n))
+    ).withColumn("_g_dup", _ngram_occurrences(F.col(text_col), dup_n))
+    return d.select(
         id_col,
-        F.round(top_ngram_frac(t, top_n), 6).alias(f"top_{top_n}gram_frac"),
-        F.round(dup_ngram_frac(t, dup_n), 6).alias(f"dup_{dup_n}gram_frac"),
+        F.round(_top_frac_of_sorted(F.col("_g_top")), 6).alias(
+            f"top_{top_n}gram_frac"
+        ),
+        F.round(_dup_frac_of(F.col("_g_dup")), 6).alias(f"dup_{dup_n}gram_frac"),
     )
 
 
@@ -98,6 +121,9 @@ def segment_hashes(
     """(id, seg_hash) for consecutive non-overlapping seg_len-token
     segments — the CCNet paragraph-hash analogue for single-line docs.
     Only the 32-char md5 leaves the row; segment text never shuffles."""
+    from .text import spread
+
+    df = spread(df, id_col)  # one row group = one scan task otherwise
     toks = tokens(F.col(text_col))
     n_seg = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
     segs = F.transform(
@@ -150,8 +176,9 @@ def contamination_check(
     ids with distinct hit-gram and eval-doc counts.
     """
     from .text import shingles  # distinct-set semantics is right here
+    from .text import spread
 
-    tr = train.select(
+    tr = spread(train, id_col).select(
         id_col, F.explode(shingles(F.col(text_col), n)).alias("g")
     )
     ev = eval_df.select(
@@ -347,6 +374,8 @@ def segment_dedup_rewrite(
     normalized to single spaces (both engines tokenize on ' +', so the
     DuckDB oracle reproduces the rebuild bit-for-bit).
     """
+    from .text import spread
+
     # the token array is PROJECTED to a bound column before any lambda
     # touches it — defense against the lambda re-inline trap
     # (ngram_array's docstring): an attribute reference inside a
@@ -359,7 +388,7 @@ def segment_dedup_rewrite(
     seg_at = lambda i: F.concat_ws(  # noqa: E731
         " ", F.slice(toks, i * seg_len + 1, F.lit(seg_len))
     )
-    with_toks = df.withColumn("_toks", tokens(F.col(text_col)))
+    with_toks = spread(df, id_col).withColumn("_toks", tokens(F.col(text_col)))
     segs = with_toks.select(
         id_col,
         F.posexplode(
@@ -419,8 +448,13 @@ def pack_sequences(
     cumsum in DuckDB over the same md5 order — provable equality of
     the distributed rewrite.
     """
+    from .text import spread
+
     n_parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     h = F.md5(F.col(id_col).cast("string"))
+    # spread before the tokenize: the size(tokens) count is the per-row
+    # work here and must not run inside a single-row-group scan task
+    df = spread(df, id_col)
     t = df.select(
         F.col(id_col),
         h.alias("_h"),
@@ -478,7 +512,13 @@ def _bucket_occurrences(
     dsir_importance_weights and nb_token_classifier (their SQL oracles
     re-derive exactly this; two drifting copies would be a silent
     oracle split)."""
-    return df.select(
+    # keyless round-robin spread (one row group = one scan task
+    # otherwise): the carried column may be a LABEL
+    # (nb_token_classifier passes the boolean class), so hashing it
+    # would collapse everything into 2 partitions; sort-before-
+    # repartition keeps round-robin deterministic under task retries
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_part).select(
         F.col(id_col),
         F.explode(_ngram_occurrences(F.col(text_col), shingle_n)).alias("_g"),
     ).select(id_col, F.substring(F.md5("_g"), 1, 2).alias("_b"))
@@ -722,7 +762,9 @@ def duplicate_token_spans(
     # whole document once PER WINDOW — O(tokens^2) per doc, measured
     # 4.2x on 1k-token docs and unbounded beyond (the same trap
     # segment_dedup_rewrite documents and hoists for)
-    with_toks = df.withColumn("_toks", tokens(F.col(text_col)))
+    from .text import spread
+
+    with_toks = spread(df, id_col).withColumn("_toks", tokens(F.col(text_col)))
     toks = F.col("_toks")
     n_win = F.size(toks) - F.lit(k - 1)
     # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — a doc

@@ -155,3 +155,50 @@ def test_multi_probe_plans_are_lossless_unguarded(spark):
     assert sets[0], "no pairs at radius 12 — corpus drift"
     assert sets[1] == sets[0]
     assert sets[2] == sets[0]
+
+
+@pytest.mark.skipif(not os.path.exists(DOCS), reason="driver testdata absent")
+def test_broadcast_minband_path_equals_shuffled_distinct_path(spark):
+    """Round 6: the broadcastable regime emits each pair once via the
+    first-qualifying-band condition (no terminal distinct) with the
+    index side broadcast; above the row cap the operator keeps the
+    shuffled join + distinct. Both paths must produce the identical
+    pair set — including when the auto hot-bucket guard FIRES (a
+    planted 90-doc identical-signature cluster overflows every one of
+    its band buckets at the auto threshold of 64), exercising the
+    per-doc survivor bitmasks the min-band condition consults."""
+    from gobulk_spark.operators import text as textmod
+
+    docs = spark.read.parquet(DOCS).select("doc_id", "text").limit(300)
+    sig = simhash(docs, "doc_id", "text")
+    # plant a hot cluster: 90 extra rows sharing one signature
+    hot = (
+        spark.range(1_000_000, 1_000_090)
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("simhash", F.lit(0x1234_5678_9ABC_DEF0))
+    )
+    sig = sig.select("doc_id", "simhash").unionByName(hot).persist()
+    try:
+        n = sig.count()
+        kwargs = dict(max_hamming=12, n_rows=n, max_bucket_size=64)
+        bc = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_near_dups(sig, "doc_id", **kwargs).collect()
+        }
+        old_cap = textmod.SIMHASH_BROADCAST_INDEX_ROWS
+        textmod.SIMHASH_BROADCAST_INDEX_ROWS = 0
+        try:
+            shuffled = {
+                (r.id_a, r.id_b, r.hamming)
+                for r in simhash_near_dups(sig, "doc_id", **kwargs).collect()
+            }
+        finally:
+            textmod.SIMHASH_BROADCAST_INDEX_ROWS = old_cap
+    finally:
+        sig.unpersist()
+    assert bc == shuffled
+    # the guard must actually have fired for this to test the masks:
+    # the planted cluster's pairs (hamming 0) are suppressed
+    planted = {(a, b) for a in range(1_000_000, 1_000_090)
+               for b in range(a + 1, 1_000_090)}
+    assert not planted & {(a, b) for a, b, _ in bc}
