@@ -76,8 +76,15 @@ def connected_components(
     # through — min-label propagation only needs a total order, and
     # Spark least()/min() and the driver union-find's min() agree on
     # the same lexicographic order for strings, numeric for numbers
-    ed2 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    ed2 = ed2.unionByName(ed2.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the (usually expensive) upstream pair computation ONCE
+    # before the symmetrization union: the union's two branches are two
+    # copies of the same subtree, and Catalyst does not share them — a
+    # jaccard candidate generation feeding dedup_clusters ran twice
+    # (measured: 4.3 s of the 9.3 s leg at sf1.0) until this checkpoint
+    ed0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
+    ed2 = ed0.unionByName(ed0.select(F.col("b").alias("a"), F.col("a").alias("b")))
     ed2 = ed2.dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
     if driver_threshold and ed2.count() <= driver_threshold:
         labels_map = _driver_union_find(

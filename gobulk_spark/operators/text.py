@@ -165,6 +165,7 @@ def winnow_fingerprints(
     text_col: str,
     k: int = 5,
     window: int = 4,
+    positions: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): Karp-Rabin rolling hashes over
@@ -181,12 +182,29 @@ def winnow_fingerprints(
     per-row Python loops beyond the batch), exploded to
     (id, fingerprint, pos) rows — joins on fingerprint find overlap
     candidates exactly like the shingle inverted index.
-    """
 
-    @F.pandas_udf(T.ArrayType(T.StructType([
-        T.StructField("fp", T.LongType()),
-        T.StructField("pos", T.IntegerType()),
-    ])))
+    ``positions=False`` (round 6) emits each document's DISTINCT
+    fingerprints only, deduplicated by np.unique inside the batch —
+    the shape winnow_overlap_pairs consumes. The caller previously
+    exploded all positions and ran a corpus-wide ``.distinct()``: a
+    full exchange of every (id, fingerprint) row that the per-doc
+    numpy dedup replaces at zero shuffle (a document's rows never
+    span batches, so per-doc unique == global distinct on (id, fp)).
+    """
+    rt = (
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("fp", T.LongType()),
+                    T.StructField("pos", T.IntegerType()),
+                ]
+            )
+        )
+        if positions
+        else T.ArrayType(T.LongType())
+    )
+
+    @F.pandas_udf(rt)
     def _winnow(texts: pd.Series) -> pd.Series:
         import numpy as np
 
@@ -231,7 +249,10 @@ def winnow_fingerprints(
             h ^= h >> np.uint64(33)
             if n <= window:
                 m = int(np.flatnonzero(h == h.min())[-1])
-                out.append([(int(h[m] >> np.uint64(1)), m)])
+                if positions:
+                    out.append([(int(h[m] >> np.uint64(1)), m)])
+                else:
+                    out.append([int(h[m] >> np.uint64(1))])
                 continue
             win = np.lib.stride_tricks.sliding_window_view(h, window)
             # rightmost minimum per window: reverse, argmin, map back
@@ -241,15 +262,25 @@ def winnow_fingerprints(
             fsel = h[pos]
             keep = np.ones(len(pos), dtype=bool)
             keep[1:] = pos[1:] != pos[:-1]  # dedupe consecutive repeats
-            out.append(
-                [(int(f >> np.uint64(1)), int(p))
-                 for f, p in zip(fsel[keep], pos[keep])]
-            )
+            if positions:
+                out.append(
+                    [(int(f >> np.uint64(1)), int(p))
+                     for f, p in zip(fsel[keep], pos[keep])]
+                )
+            else:
+                out.append(
+                    [int(f) for f in np.unique(fsel[keep] >> np.uint64(1))]
+                )
         return pd.Series(out, index=texts.index)
 
     n_part = df.sparkSession.sparkContext.defaultParallelism
+    spread_df = df.repartition(n_part, id_col)
+    if not positions:
+        return spread_df.select(
+            F.col(id_col), F.explode(_winnow(F.col(text_col))).alias("fingerprint")
+        )
     return (
-        df.repartition(n_part, id_col)
+        spread_df
         .select(F.col(id_col), F.explode(_winnow(F.col(text_col))).alias("w"))
         .select(id_col, F.col("w.fp").alias("fingerprint"), F.col("w.pos").alias("pos"))
     )
@@ -270,11 +301,10 @@ def winnow_overlap_pairs(
     guard drops fingerprints present in > max_fp_df docs."""
     from .dedup import pin
 
-    fp = pin(
-        winnow_fingerprints(df, id_col, text_col, k, window)
-        .select(id_col, "fingerprint")
-        .distinct()
-    )
+    # positions=False: the UDF already emits per-doc DISTINCT
+    # fingerprints, so the former corpus-wide .distinct() exchange of
+    # every (id, fingerprint) row is gone (see winnow_fingerprints)
+    fp = pin(winnow_fingerprints(df, id_col, text_col, k, window, positions=False))
     if max_fp_df is not None:
         hot = (
             fp.groupBy("fingerprint")
