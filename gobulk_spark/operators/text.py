@@ -70,8 +70,20 @@ def spread(df: DataFrame, id_col: str) -> DataFrame:
     sf1.0 on local[32] from this alone). Same rationale as
     dedup._shingled ("spread rows across cores BEFORE the explode");
     the exchange moves only the pruned projection once, before the
-    ~100x row amplification."""
+    ~100x row amplification.
+
+    The repartition is CONDITIONAL on the input actually being
+    under-partitioned: a warehouse-scale table already scans as
+    thousands of splits, and forcing it through an exchange down to
+    defaultParallelism partitions would ADD a full shuffle (and cap
+    parallelism) exactly where none is needed. getNumPartitions only
+    plans — no job runs."""
     n_part = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= n_part:
+            return df
+    except Exception:
+        pass
     return df.repartition(n_part, id_col)
 
 

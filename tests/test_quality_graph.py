@@ -403,14 +403,15 @@ def test_per_doc_signals_are_zero_shuffle_and_jvm_only(spark):
     """The scale contract of the per-document operators: pure narrow
     projections — no exchange of any kind, no Python eval nodes.
 
-    Round 6: repetition_stats now carries exactly ONE exchange — the
-    deliberate spread() repartition before its work-amplifying n-gram
-    build (a single parquet row group is one scan task; measured 25.2 s
-    -> 1.8 s at sf1.0 from the spread alone). The signal computation
-    itself stays a pure JVM projection: one exchange, nothing Python."""
+    Round 6: repetition_stats may carry AT MOST one exchange — the
+    deliberate, CONDITIONAL spread() repartition before its
+    work-amplifying n-gram build (a single parquet row group is one
+    scan task; measured 25.2 s -> 1.8 s at sf1.0; an already-split
+    input — like this test's parallelized local frame — skips it).
+    The signal computation itself stays a pure JVM projection."""
     df = _docs(spark, [(1, "a b c d e f g h i j")])
     rep_plan = _plan(repetition_stats(df, "doc_id", "text"))
-    assert rep_plan.count("Exchange") == 1, rep_plan
+    assert rep_plan.count("Exchange") <= 1, rep_plan
     for out in (
         hash_split(df, "doc_id"),
         stratified_sample(df, "doc_id", "text", {"x": 0.5}),
