@@ -178,9 +178,18 @@ def asof_join_salted(
         ts_d = F.col(ts_col).cast("timestamp").cast("double")
     else:
         ts_d = F.col(ts_col).cast("double")
+    # the sketch runs over the LEFT side only (round 6): the result is
+    # provably identical for ANY cut placement — bucket assignment is a
+    # monotone function of ts alone, tied rows always share a bucket,
+    # and the carry chain stitches across every boundary (the
+    # plain==salted equality tests pin this for the documented tie
+    # rules) — so the boundaries are a load-balancing choice, not a
+    # correctness input. Sketching the full tagged union re-evaluated
+    # both input subtrees including the right side's pre-dedup groupBy;
+    # the left projection is one narrow column-pruned pass.
     cuts = sorted(
         set(
-            u.select(ts_d.alias("_t")).approxQuantile(
+            left.select(ts_d.alias("_t")).approxQuantile(
                 "_t", [i / n_buckets for i in range(1, n_buckets)], rel_err
             )
         )
