@@ -186,13 +186,23 @@ def contamination_check(
     from .text import shingles  # distinct-set semantics is right here
     from .text import spread
 
-    tr = spread(train, id_col).select(
-        id_col, F.explode(shingles(F.col(text_col), n)).alias("g")
+    # round 6: probe on xxhash64(gram) — the gram text never leaves its
+    # map stage, the broadcast map keys 8-byte longs instead of ~25-char
+    # strings, and both distinct counts are collision-invariant up to
+    # 64-bit collisions (same accepted bound as the jaccard shingle key)
+    tr = (
+        spread(train, id_col)
+        .select(id_col, F.explode(shingles(F.col(text_col), n)).alias("_g"))
+        .select(id_col, F.xxhash64("_g").alias("g"))
     )
-    ev = eval_df.select(
-        F.col(id_col).alias("_eval_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("g"),
-    ).dropDuplicates(["_eval_id", "g"])
+    ev = (
+        eval_df.select(
+            F.col(id_col).alias("_eval_id"),
+            F.explode(shingles(F.col(text_col), n)).alias("_g"),
+        )
+        .select("_eval_id", F.xxhash64("_g").alias("g"))
+        .dropDuplicates(["_eval_id", "g"])
+    )
     return (
         tr.join(F.broadcast(ev), "g")
         .groupBy(id_col)

@@ -340,6 +340,11 @@ def winnow_overlap_pairs(
 
 SIMHASH_BITS = 64
 
+#: cells cap (batch_docs x batch_vocab) for the dense bincount+matmul
+#: vote path inside the simhash UDF; larger batches take the per-bit
+#: weighted-bincount path (identical results, bounded memory)
+SIMHASH_DENSE_VOTE_CELLS = 1 << 26
+
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit simhash per document — vectorized Arrow UDF.
@@ -348,6 +353,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     hashlib on *unique* tokens only), bits are unpacked and majority-
     voted with one matmul-free bincount pass per batch.
     """
+
+    dense_cells = SIMHASH_DENSE_VOTE_CELLS  # closure-captured per query
 
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -374,14 +381,38 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 dtype=np.uint64,
                 count=len(uniques),
             )
-            bits = (
-                np.unpackbits(uh[codes].view(np.uint8).reshape(-1, 8), axis=1)
-                .astype(np.int32)
+            # votes[d, b] = (# tokens of doc d with bit b set)*2 - n_d.
+            # np.add.at is the naive accumulator and measured 433 ms per
+            # 2048-doc batch (unbuffered scalar ufunc); both paths below
+            # are exact replacements built on C-speed bincount:
+            # - small vocab: per-doc token-count matrix (one bincount)
+            #   times the V x 64 unique-hash bit matrix;
+            # - large vocab (bounds the n_docs*V matrix): one bincount
+            #   per bit column with the bit values as weights.
+            rows = np.repeat(np.arange(len(texts)), counts)
+            bits_u = (
+                np.unpackbits(uh.view(np.uint8).reshape(-1, 8), axis=1)
+                .astype(np.int64)
                 .reshape(-1, 64)
             )
-            rows = np.repeat(np.arange(len(texts)), counts)
-            votes = np.zeros((len(texts), 64), dtype=np.int64)
-            np.add.at(votes, rows, bits * 2 - 1)
+            V = len(uniques)
+            if V * len(texts) <= dense_cells:
+                cnt = np.bincount(
+                    rows * V + codes, minlength=len(texts) * V
+                ).reshape(len(texts), V)
+                ones = cnt @ bits_u  # tokens with bit set, per doc
+            else:
+                bits = bits_u[codes]
+                ones = np.stack(
+                    [
+                        np.bincount(
+                            rows, weights=bits[:, b], minlength=len(texts)
+                        )
+                        for b in range(64)
+                    ],
+                    axis=1,
+                ).astype(np.int64)
+            votes = 2 * ones - counts[:, None]
             sig = (votes > 0).astype(np.uint64)
             packed = np.packbits(sig.astype(np.uint8), axis=1).view(">u8").ravel()
             out = packed.astype(np.int64, casting="unsafe").view(np.int64)

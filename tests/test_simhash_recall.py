@@ -202,3 +202,25 @@ def test_broadcast_minband_path_equals_shuffled_distinct_path(spark):
     planted = {(a, b) for a in range(1_000_000, 1_000_090)
                for b in range(a + 1, 1_000_090)}
     assert not planted & {(a, b) for a, b, _ in bc}
+
+
+@pytest.mark.skipif(not os.path.exists(DOCS), reason="driver testdata absent")
+def test_simhash_vote_paths_agree(spark):
+    """Round 6: the UDF's dense (bincount+matmul) and sparse (per-bit
+    weighted bincount) vote accumulators must produce identical
+    signatures — the sparse path is the bounded-memory fallback for
+    large per-batch vocabularies and never fires on the small test
+    corpora unless forced."""
+    from gobulk_spark.operators import text as textmod
+
+    docs = spark.read.parquet(DOCS).select("doc_id", "text").limit(200)
+    dense = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    old = textmod.SIMHASH_DENSE_VOTE_CELLS
+    textmod.SIMHASH_DENSE_VOTE_CELLS = 0  # force the per-bit path
+    try:
+        sparse = {
+            r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()
+        }
+    finally:
+        textmod.SIMHASH_DENSE_VOTE_CELLS = old
+    assert dense == sparse and len(dense) == 200
