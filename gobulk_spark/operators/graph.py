@@ -84,22 +84,27 @@ def connected_components(
     ed0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=True
     )
-    ed2 = ed0.unionByName(ed0.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    ed2 = ed2.dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
-    if driver_threshold and ed2.count() <= driver_threshold:
+    # the driver path works on the RAW pair list: union-find is
+    # direction-agnostic and tolerant of duplicates, so the
+    # symmetrize + dropDuplicates shuffle + second checkpoint exist
+    # only for the distributed propagation below and are skipped here
+    # (round 6; the 2x matches the old ed2-row threshold semantics)
+    if driver_threshold and 2 * ed0.count() <= driver_threshold:
         labels_map = _driver_union_find(
-            [(r["a"], r["b"]) for r in ed2.collect()]
+            [(r["a"], r["b"]) for r in ed0.collect()]
         )
         spark = edges.sparkSession
         from pyspark.sql.types import StructField, StructType
 
-        node_t = ed2.schema["a"].dataType
+        node_t = ed0.schema["a"].dataType
         return spark.createDataFrame(
             list(labels_map.items()),
             StructType(
                 [StructField("node", node_t), StructField("cluster_id", node_t)]
             ),
         )
+    ed2 = ed0.unionByName(ed0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    ed2 = ed2.dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
     labels = ed2.select(F.col("a").alias("node")).dropDuplicates(
         ["node"]
     ).withColumn("lbl", F.col("node"))

@@ -317,6 +317,11 @@ def winnow_overlap_pairs(
     # fingerprints, so the former corpus-wide .distinct() exchange of
     # every (id, fingerprint) row is gone (see winnow_fingerprints)
     fp = pin(winnow_fingerprints(df, id_col, text_col, k, window, positions=False))
+    # sized-broadcast decision for the self-join index side — same
+    # pattern (and scale fallback above the cap) as the minhash and
+    # jaccard inverted-index joins; the pinned frame makes the count
+    # a cache scan
+    n_fp = fp.count()
     if max_fp_df is not None:
         hot = (
             fp.groupBy("fingerprint")
@@ -326,6 +331,10 @@ def winnow_overlap_pairs(
         )
         fp = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
     l, r = fp.alias("l"), fp.alias("r")
+    from .dedup import LSH_BROADCAST_INDEX_ROWS
+
+    if n_fp <= LSH_BROADCAST_INDEX_ROWS:
+        r = F.broadcast(r)
     return (
         l.join(
             r,
