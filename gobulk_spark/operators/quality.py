@@ -607,14 +607,22 @@ def dsir_importance_weights(
     # pinned: two consumers (bucket counts, per-doc agg) would each
     # re-run the n-gram explode; the registry owns release
     r_occ = pin(occ(raw))
-    # the 256-row bucket tables are pinned and the grand totals are
-    # SUMS OF THE BUCKET COUNTS — the former separate .count() actions
-    # re-ran the whole explode over the (unpinned) target and rescanned
-    # the raw cache, one full extra pass per side (round 6)
-    tb = pin(occ(target).groupBy("_b").agg(F.count("*").alias("ct_t")))
-    rb = pin(r_occ.groupBy("_b").agg(F.count("*").alias("ct_r")))
-    n_t = int(tb.agg(F.sum("ct_t")).first()[0] or 0)
-    n_r = int(rb.agg(F.sum("ct_r")).first()[0] or 0)
+    # ONE aggregation pass per side: the <=256-row bucket histograms are
+    # collected and re-registered as LOCAL frames, so the grand totals
+    # are exact Python integer sums (no extra count() actions — the
+    # former separate counts re-ran the whole target explode and
+    # rescanned the raw cache) and the contrib computation below joins
+    # two local 256-row relations instead of re-evaluating aggregate
+    # subtrees. The log-likelihood expressions stay Spark-side
+    # (F.log/F.round over the same values), so contributions are
+    # bit-identical to the former plan (round 6).
+    spark = raw.sparkSession
+    tb_rows = occ(target).groupBy("_b").agg(F.count("*").alias("ct_t")).collect()
+    rb_rows = r_occ.groupBy("_b").agg(F.count("*").alias("ct_r")).collect()
+    n_t = sum(r["ct_t"] for r in tb_rows)
+    n_r = sum(r["ct_r"] for r in rb_rows)
+    tb = spark.createDataFrame(tb_rows, "_b string, ct_t long")
+    rb = spark.createDataFrame(rb_rows, "_b string, ct_r long")
     lr = F.log(
         (F.col("ct_t") + F.lit(alpha)) / F.lit(n_t + alpha * n_buckets)
     ) - F.log((F.col("ct_r") + F.lit(alpha)) / F.lit(n_r + alpha * n_buckets))
@@ -681,8 +689,6 @@ def nb_token_classifier(
         raise ValueError(f"alpha must be > 0, got {alpha}")
     import math
 
-    from .dedup import pin
-
     n_buckets = 256
 
     # training needs (label, bucket) — the helper's carried column is
@@ -693,14 +699,19 @@ def nb_token_classifier(
         text_col,
         shingle_n,
     ).select(F.col("_y_lbl").alias("_y"), "_b")
-    cnt = pin(
-        t_occ.groupBy("_b").agg(
-            F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("ct1"),
-            F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("ct0"),
-        )
+    # one aggregation pass: collect the <=256-row class-count histogram,
+    # total it in Python, and re-register it as a local frame (same
+    # collect-once shape as dsir_importance_weights — the former pinned
+    # frame paid a cache plus a second aggregate action for the totals)
+    cnt_rows = t_occ.groupBy("_b").agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("ct1"),
+        F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("ct0"),
+    ).collect()
+    n1 = sum(int(r["ct1"]) for r in cnt_rows)
+    n0 = sum(int(r["ct0"]) for r in cnt_rows)
+    cnt = train.sparkSession.createDataFrame(
+        cnt_rows, "_b string, ct1 long, ct0 long"
     )
-    tot = cnt.agg(F.sum("ct1"), F.sum("ct0")).first()
-    n1, n0 = int(tot[0] or 0), int(tot[1] or 0)
     docs = train.agg(
         F.sum(F.when(F.col(label_col), 1).otherwise(0)),
         F.count("*"),
