@@ -171,6 +171,87 @@ def shingles(text: Column, n: int) -> Column:
     return F.array_distinct(ngram_array(text, n))
 
 
+def _winnow_batch_fp_sets(encoded: list, k: int, window: int) -> list:
+    """Whole-batch vectorization of winnow_fingerprints'
+    positions=False path: every per-doc numpy pass of the loop form
+    replaced by ONE pass over the batch's concatenated bytes. Bit-exact by ring arithmetic: with GLOBAL
+    exponent tables, a doc starting at offset s computes
+    seg_global = inv^s * seg_local and h = seg_global *
+    B^(k-1+s+i) = seg_local * B^(k-1+i) — the extra inv^s/B^s
+    factors cancel exactly mod 2^64 (multiplication is commutative
+    in the ring), so every hash equals the per-doc loop's to the
+    bit (pinned by test_winnow_batch_vectorization_is_exact).
+    Windows never cross documents: a window-start is valid only
+    when its k-gram AND its `window` successors lie in one doc.
+    Returns one sorted int64 array of distinct fingerprints per
+    doc (np.unique order, as before)."""
+    import numpy as np
+
+    B_ = np.uint64(1000003)
+    inv_ = np.uint64(pow(1000003, -1, 1 << 64))
+    nd = len(encoded)
+    empty = np.empty(0, dtype=np.int64)
+    lens = np.array([len(e) for e in encoded], dtype=np.int64)
+    L = int(lens.sum())
+    if L < k:
+        return [empty] * nd
+    b_all = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    one_ = np.ones(1, dtype=np.uint64)
+    powers = np.concatenate(
+        [one_, np.cumprod(np.full(L - 1, B_, dtype=np.uint64))]
+    )
+    invpow = np.concatenate(
+        [one_, np.cumprod(np.full(L - 1, inv_, dtype=np.uint64))]
+    )
+    csum = np.cumsum(b_all.astype(np.uint64) * invpow, dtype=np.uint64)
+    nW = L - k + 1
+    seg = csum[k - 1 :].copy()
+    seg[1:] -= csum[: nW - 1]
+    h = seg * powers[k - 1 : k - 1 + nW]
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    doc_of = np.repeat(np.arange(nd), lens)
+    gidx = np.arange(nW)
+    valid = doc_of[gidx] == doc_of[gidx + k - 1]  # k-gram inside one doc
+    h_seq = h[valid]
+    hdoc = doc_of[gidx[valid]]
+    n_valid = np.maximum(lens - (k - 1), 0)
+    hoffs = np.concatenate([[0], np.cumsum(n_valid)])
+    vals_parts, docs_parts = [], []
+    if len(h_seq) >= window:
+        win = np.lib.stride_tricks.sliding_window_view(h_seq, window)
+        rowdoc = hdoc[: len(win)]
+        wvalid = rowdoc == hdoc[np.arange(len(win)) + window - 1]
+        wvalid &= (n_valid > window)[rowdoc]  # n<=window: global-min path
+        rows = np.flatnonzero(wvalid)
+        if len(rows):
+            rev = win[rows][:, ::-1]
+            arg = window - 1 - rev.argmin(axis=1)
+            pos = arg + rows
+            vals_parts.append(h_seq[pos])
+            docs_parts.append(hdoc[rows])
+    for d in np.flatnonzero((n_valid >= 1) & (n_valid <= window)):
+        hs = h_seq[hoffs[d] : hoffs[d + 1]]
+        m = int(np.flatnonzero(hs == hs.min())[-1])
+        vals_parts.append(hs[m : m + 1])
+        docs_parts.append(np.array([d]))
+    out_ = [empty] * nd
+    if vals_parts:
+        vals = (np.concatenate(vals_parts) >> np.uint64(1)).astype(np.int64)
+        docs = np.concatenate(docs_parts)
+        order = np.lexsort((vals, docs))
+        docs, vals = docs[order], vals[order]
+        keep = np.ones(len(vals), dtype=bool)
+        keep[1:] = (docs[1:] != docs[:-1]) | (vals[1:] != vals[:-1])
+        docs, vals = docs[keep], vals[keep]
+        bounds = np.searchsorted(docs, np.arange(nd + 1))
+        for d in range(nd):
+            if bounds[d] < bounds[d + 1]:
+                out_[d] = vals[bounds[d] : bounds[d + 1]]
+    return out_
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -226,6 +307,10 @@ def winnow_fingerprints(
         # power tables computed ONCE per batch for the longest doc and
         # sliced per doc (was per-doc cumprods — the dominant cost)
         encoded = [t.lower().encode("utf-8", "ignore") for t in texts.fillna("")]
+        if not positions:
+            return pd.Series(
+                _winnow_batch_fp_sets(encoded, k, window), index=texts.index
+            )
         max_len = max((len(e) for e in encoded), default=0)
         one = np.ones(1, dtype=np.uint64)
         if max_len > 1:
