@@ -691,6 +691,13 @@ def nb_token_classifier(
 
     n_buckets = 256
 
+    # NULL-labeled rows have no class: keep token counts and the doc
+    # prior consistent by excluding them from BOTH (they already fell
+    # out of the when/~when token counts; counting them in the prior's
+    # denominator silently skewed it toward "negative" — round-6
+    # ADVICE). No-op when label_col is total, as in the declared query.
+    train = train.where(F.col(label_col).isNotNull())
+
     # training needs (label, bucket) — the helper's carried column is
     # the label here, not the id (counts don't care which doc)
     t_occ = _bucket_occurrences(

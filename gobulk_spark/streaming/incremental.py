@@ -409,9 +409,21 @@ def _process_microbatch(
     # so the stream stays scannable without an external OPTIMIZE cron.
     # After the marker flip: compaction must never run inside the
     # epoch's commit window (it is content-preserving, but a crash
-    # mid-rewrite should leave a committed epoch, not a torn one)
+    # mid-rewrite should leave a committed epoch, not a torn one).
+    # Best-effort by contract: the epoch is already committed, so a
+    # maintenance failure (e.g. an optimize losing its OCC race until
+    # retries run out) must not fail the batch and kill the stream —
+    # the next epoch simply retries compaction (round-6 ADVICE)
     if hasattr(sink, "maintain"):
-        sink.maintain(spark)
+        try:
+            sink.maintain(spark)
+        except Exception as exc:  # pragma: no cover - timing-dependent
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "post-epoch maintenance failed (will retry next epoch): %s",
+                exc,
+            )
     if persisted:
         _cached.unpersist()
     if staged:

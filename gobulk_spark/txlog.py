@@ -212,9 +212,21 @@ def _uri_rel_mapper(paths: dict[str, str]):
         hit = by_path.get(uri.split("://")[-1].lstrip("/"))
         if hit is not None:
             return hit
-        for a, rel in paths.items():
-            if uri.endswith(a) or uri.endswith(a.lstrip("/")):
-                return rel
+        # fallback suffix match anchored on a path-separator boundary:
+        # a bare endswith() would let one mapped path that is a
+        # path-suffix of another (…/a/part-0.parquet vs
+        # …/extra/a/part-0.parquet) resolve to the wrong file and make
+        # a rewrite remove the wrong entry from the commit; ambiguity
+        # is an error, not a first-hit win (round-6 ADVICE)
+        matches = {
+            rel
+            for a, rel in paths.items()
+            if uri.endswith("/" + a.lstrip("/"))
+        }
+        if len(matches) == 1:
+            return next(iter(matches))
+        if matches:
+            raise KeyError(f"ambiguous input file mapping for {uri}")
         raise KeyError(f"unmapped input file {uri}")
 
     return rel_of
@@ -1792,9 +1804,22 @@ class TxLogKeptSink:
 
     # -- table-format extras ----------------------------------------------
 
-    def history(self, spark: SparkSession) -> list[dict]:
-        """The committed log, oldest first (Delta's DESCRIBE HISTORY)."""
-        return self._entries(spark)
+    def history(
+        self, spark: SparkSession, limit: int | None = None
+    ) -> list[dict]:
+        """The committed log, oldest first (Delta's DESCRIBE HISTORY).
+        ``limit`` returns only the NEWEST ``limit`` entries while
+        reading only those JSONs — on a long-lived store the full
+        history is O(commits) driver reads, so bounded callers should
+        bound it (round-6 ADVICE)."""
+        if limit is None:
+            return self._entries(spark)
+        fs = self._fs(spark)
+        names = self._entry_names(fs)[-limit:] if limit > 0 else []
+        return [
+            json.loads(fs.read_text(lineage._join(self.log_dir, n)))
+            for n in names
+        ]
 
     def restore(
         self, spark: SparkSession, run_id: str, to_version: int
@@ -1892,10 +1917,20 @@ class TxLogKeptSink:
         live, ever, last, _ = self._state(spark)
         keep = set(live)
         if retain_last and last:
+            # the retained-version list needs only the last
+            # ``retain_last`` version NUMBERS below ``last`` — version
+            # numbers ARE the entry file names, so one directory
+            # listing suffices; the former _entries() call parsed
+            # every commit JSON ever written, re-introducing the
+            # O(history) cost the checkpoint machinery bounds
+            # everywhere else (round-6 ADVICE). Each retained state
+            # replay below stays checkpoint-bounded.
             versions = [
-                e["version"]
-                for e in self._entries(spark)
-                if e["version"] < last
+                v
+                for v in (
+                    int(n.split(".")[0]) for n in self._entry_names(fs)
+                )
+                if v < last
             ][-retain_last:]
             for v in versions:
                 keep |= set(self._state(spark, v)[0])
