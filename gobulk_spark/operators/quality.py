@@ -152,7 +152,40 @@ def segment_dedup_stats(
     md5 key — segment document-frequency, then the per-doc rollup; both
     partial-aggregate map-side.
     """
-    seg = segment_hashes(df, id_col, text_col, seg_len)
+    from .dedup import pin
+
+    # round 6: the per-doc rollup only needs each segment's boolean
+    # "appears in >1 docs", so instead of joining the FULL
+    # document-frequency table back onto every segment row (a shuffled
+    # join of the whole segment frame), the SHARED hash set — usually a
+    # small fraction — is broadcast and counted via one semi-join.
+    # Above the broadcast cap the old full join stands. The segment
+    # frame is pinned: the frequency aggregate and the rollup both
+    # consume it.
+    seg = pin(segment_hashes(df, id_col, text_col, seg_len))
+    hot = (
+        seg.groupBy("seg_hash")
+        .agg(F.countDistinct(id_col).alias("_ndocs"))
+        .where(F.col("_ndocs") > 1)
+        .select("seg_hash")
+    )
+    if hot.count() <= DUP_HASH_BROADCAST_ROWS:
+        n_shared = (
+            seg.join(F.broadcast(hot), "seg_hash", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("_n_sh"))
+        )
+        totals = seg.groupBy(id_col).agg(
+            F.count("*").cast("long").alias("n_segments")
+        )
+        out = totals.join(n_shared, id_col, "left")
+        sh = F.coalesce(F.col("_n_sh"), F.lit(0).cast("long"))
+        return out.select(
+            id_col,
+            "n_segments",
+            sh.alias("n_shared_segments"),
+            F.round(sh / F.col("n_segments"), 6).alias("shared_frac"),
+        )
     dfreq = seg.groupBy("seg_hash").agg(
         F.countDistinct(id_col).alias("_ndocs")
     )
@@ -406,12 +439,22 @@ def segment_dedup_rewrite(
     seg_at = lambda i: F.concat_ws(  # noqa: E731
         " ", F.slice(toks, i * seg_len + 1, F.lit(seg_len))
     )
+    from .dedup import pin
+
     with_toks = spread(df, id_col).withColumn("_toks", tokens(F.col(text_col)))
-    segs = with_toks.select(
-        id_col,
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), n_seg - 1), lambda i: F.md5(seg_at(i)))
-        ).alias("pos", "seg_hash"),
+    # pinned: the frequency aggregate AND the removal-set probe both
+    # consume the segment explode — unpinned, the tokenize+md5 explode
+    # ran once per consumer (round 6); the over-frequent hash set is
+    # broadcast below the shared row cap so the probe stays map-side
+    segs = pin(
+        with_toks.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1), lambda i: F.md5(seg_at(i))
+                )
+            ).alias("pos", "seg_hash"),
+        )
     )
     hot = (
         segs.groupBy("seg_hash")
@@ -419,6 +462,8 @@ def segment_dedup_rewrite(
         .where(F.col("_ndocs") > max_df)
         .select("seg_hash")
     )
+    if hot.count() <= DUP_HASH_BROADCAST_ROWS:
+        hot = F.broadcast(hot)
     removed = (
         segs.join(hot, "seg_hash", "left_semi")
         .groupBy(id_col)
